@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.run.GraftQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] runs a real engine code path (Catalyst cell
+  * encoders, JTS refine, scanline burn, ring-expansion kNN, ...); every
+  * entry in [[oracleSql]] recomputes the same result relationally in
+  * DuckDB-executable ANSI SQL over the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full web-table pipeline at sf=0.001 scale — synthesize the
+    * Common-Crawl-style table, verify the byte-identical text invariant,
+    * geocode, BNG-index, lookup-join lang codes, count per 10 km tile.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.run.Pipeline.flagship(spark, nPages = 20000L)
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (GraftQueries.q1Agg _),
+    "q2_join_broadcast" -> (GraftQueries.q2Join _),
+    "q3_filter_pushdown" -> (GraftQueries.q3Filter _),
+    "q4_window_topk" -> (GraftQueries.q4Window _),
+    "q5_sort_limit" -> (GraftQueries.q5SortLimit _),
+    "q6_categorize" -> (GraftQueries.q6Categorize _),
+    "q7_lookup_join" -> (GraftQueries.q7LookupJoin _),
+    "q8_dedup_exact" -> (GraftQueries.q8DedupExact _),
+    "q9_hourly_agg" -> (GraftQueries.q9Hourly _),
+    "q10_text_quality" -> (GraftQueries.q10TextQuality _),
+    "q11_fingerprint" -> (GraftQueries.q11Fingerprint _),
+    "q12_bng_cell" -> (GraftQueries.q12BngCell _),
+    "q13_tile_counts" -> (GraftQueries.q13TileCounts _),
+    "q14_spatial_join" -> (GraftQueries.q14SpatialJoin _),
+    "q15_knn" -> (GraftQueries.q15Knn _),
+    "q16_raster_burn" -> (GraftQueries.q16RasterBurn _),
+    "q17_ann_topk" -> (GraftQueries.q17AnnDot _)
+  )
+
+  /** DuckDB-runnable oracle per query (same column names as the Spark
+    * result — the driver sorts columns by name before hashing).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> GraftQueries.q1Sql,
+    "q2_join_broadcast" -> GraftQueries.q2Sql,
+    "q3_filter_pushdown" -> GraftQueries.q3Sql,
+    "q4_window_topk" -> GraftQueries.q4Sql,
+    "q5_sort_limit" -> GraftQueries.q5Sql,
+    "q6_categorize" -> GraftQueries.q6Sql,
+    "q7_lookup_join" -> GraftQueries.q7Sql,
+    "q8_dedup_exact" -> GraftQueries.q8Sql,
+    "q9_hourly_agg" -> GraftQueries.q9Sql,
+    "q10_text_quality" -> GraftQueries.q10Sql,
+    "q11_fingerprint" -> GraftQueries.q11Sql,
+    "q12_bng_cell" -> GraftQueries.q12Sql,
+    "q13_tile_counts" -> GraftQueries.q13Sql,
+    "q14_spatial_join" -> GraftQueries.q14Sql,
+    "q15_knn" -> GraftQueries.q15Sql,
+    "q16_raster_burn" -> GraftQueries.q16Sql,
+    "q17_ann_topk" -> GraftQueries.q17Sql
+  )
 }

@@ -1,0 +1,185 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.Geometry
+
+/** Native Catalyst expressions for geometry predicates over WKB binary
+  * columns. These replace the reference's shapely/GeoPandas per-row Python
+  * kernels (`_dataframe.py:628-654`, `_vector.py:198-235`) with pure-JVM
+  * evaluation — no Python-worker boundary, no serialization across
+  * runtimes. CodegenFallback is acceptable here: each call does real
+  * geometry work, so the virtual-call overhead is negligible relative to
+  * the kernel.
+  */
+object GeoExpressions {
+  /** Bridge a Catalyst Expression to a user-facing Column (Spark 4.x). */
+  def toCol(e: Expression): Column = Bridge.column(e)
+  def expr(c: Column): Expression = Bridge.expression(c)
+
+  def st_point(x: Column, y: Column): Column = toCol(StPoint(expr(x), expr(y)))
+  def st_contains(a: Column, b: Column): Column = toCol(StPredicate(expr(a), expr(b), "contains"))
+  def st_covers(a: Column, b: Column): Column = toCol(StPredicate(expr(a), expr(b), "covers"))
+  def st_intersects(a: Column, b: Column): Column = toCol(StPredicate(expr(a), expr(b), "intersects"))
+  def st_within(a: Column, b: Column): Column = toCol(StPredicate(expr(a), expr(b), "within"))
+  def st_intersection(a: Column, b: Column): Column = toCol(StIntersection(expr(a), expr(b)))
+  def st_envelope(g: Column): Column = toCol(StEnvelope(expr(g)))
+  def st_distance(a: Column, b: Column): Column = toCol(StDistance(expr(a), expr(b)))
+  def st_astext(g: Column): Column = toCol(StAsText(expr(g)))
+  def st_geomfromtext(g: Column): Column = toCol(StGeomFromText(expr(g)))
+  def st_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    toCol(StMakeBox(Seq(expr(minx), expr(miny), expr(maxx), expr(maxy))))
+}
+
+/** (minx, miny, maxx, maxy) -> WKB box polygon (shapely.geometry.box). */
+case class StMakeBox(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      def d(a: Any): Double = a match {
+        case x: Double => x
+        case x: Long => x.toDouble
+        case x: Int => x.toDouble
+        case x => x.toString.toDouble
+      }
+      Wkb.write(Wkb.box(d(vs(0)), d(vs(1)), d(vs(2)), d(vs(3))))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** (x, y) -> WKB point. */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Wkb.write(Wkb.point(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+}
+
+/** Binary spatial predicate over two WKB geometries. */
+case class StPredicate(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = Wkb.read(a.asInstanceOf[Array[Byte]])
+    val gb = Wkb.read(b.asInstanceOf[Array[Byte]])
+    op match {
+      case "contains"   => ga.contains(gb)
+      case "covers"     => ga.covers(gb)
+      case "intersects" => ga.intersects(gb)
+      case "within"     => ga.within(gb)
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** WKB x WKB -> WKB geometric intersection (reference clip-to-bbox,
+  * `vector.py:612-617`).
+  */
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = Wkb.read(a.asInstanceOf[Array[Byte]])
+    val gb = Wkb.read(b.asInstanceOf[Array[Byte]])
+    Wkb.write(ga.intersection(gb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** WKB -> [minx, miny, maxx, maxy]. */
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val env = Wkb.read(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+    new GenericArrayData(Array(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Euclidean distance between two WKB geometries (planar CRS units). */
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Wkb.read(a.asInstanceOf[Array[Byte]]).distance(Wkb.read(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** WKB -> WKT (test/debug surface, reference `pipeline.py:247-271`). */
+case class StAsText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Wkb.writeWkt(Wkb.read(v.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WKT -> WKB. */
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Wkb.write(Wkb.readWkt(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Vectorized point-in-polygon refine (north-rule R8): the polygon side is
+  * broadcast as a map of polygonId -> PreparedGeometry (prepare once per
+  * polygon per JVM), and each probe evaluates `PreparedGeometry.covers`
+  * against raw (x, y) doubles without even decoding point WKB.
+  */
+case class PipPrepared(
+    polyId: Expression, x: Expression, y: Expression,
+    polys: scala.collection.Map[Long, Array[Byte]])
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(polyId, x, y)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  @transient private lazy val prepared = {
+    val pf = new org.locationtech.jts.geom.prep.PreparedGeometryFactory
+    polys.map { case (id, wkb) => id -> pf.create(Wkb.read(wkb)) }
+  }
+  @transient private lazy val pointFactory = Wkb.factory
+
+  override def eval(input: InternalRow): Any = {
+    val id = polyId.eval(input).asInstanceOf[Long]
+    val px = x.eval(input).asInstanceOf[Double]
+    val py = y.eval(input).asInstanceOf[Double]
+    prepared.get(id) match {
+      case Some(pg) => pg.covers(pointFactory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(px, py)))
+      case None => false
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(polyId = newChildren(0), x = newChildren(1), y = newChildren(2))
+}

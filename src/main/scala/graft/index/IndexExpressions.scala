@@ -1,0 +1,152 @@
+package graft.index
+
+import graft.core.Constants
+import graft.geo.{GeoExpressions, Wkb}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Batched Catalyst cell encoders — the graft's replacement for the
+  * reference's per-row Python UDF `calculate_bng_index`
+  * (`/root/reference/src/sds_data_model/dataframe.py:337-413`).
+  *
+  * `how` semantics follow the reference docs (`__init__.py:281-288`):
+  *  - "bounding box": all cells covering the geometry's envelope;
+  *  - "intersects" (default): cells the geometry actually intersects;
+  *  - "contains": cells wholly contained in the geometry.
+  * For points all three collapse to the single containing cell — the hot
+  * path allocates one candidate and skips JTS entirely.
+  */
+object IndexExpressions {
+  import GeoExpressions.{toCol, expr}
+
+  def bng_index(geom: Column, resolution: Long, how: String = "intersects"): Column =
+    toCol(BngIndexExpr(expr(geom), resolution, how))
+
+  def bng_index_point(x: Column, y: Column, resolution: Long): Column =
+    toCol(BngPointRef(expr(x), expr(y), resolution))
+
+  def bng_to_bounds(ref: Column): Column = toCol(BngToBounds(expr(ref)))
+
+  def bng_cell_id(x: Column, y: Column, resolution: Long): Column =
+    toCol(BngCellId(expr(x), expr(y), resolution))
+
+  def cell_ring(ref: Column, ring: Column): Column =
+    toCol(BngCellRing(expr(ref), expr(ring)))
+}
+
+/** WKB geometry -> Array[String] of BNG grid refs at `resolution`. */
+case class BngIndexExpr(child: Expression, resolution: Long, how: String)
+    extends UnaryExpression with CodegenFallback {
+  require(Set("intersects", "bounding box", "contains").contains(how),
+    s"unknown how='$how'")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = Wkb.read(v.asInstanceOf[Array[Byte]])
+    val env = g.getEnvelopeInternal
+    val candidates = Bng.envelopeCells(
+      env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, resolution)
+    val isPointLike = g.getNumPoints == 1 ||
+      (env.getWidth == 0 && env.getHeight == 0)
+    val refs: Seq[String] =
+      if (how == "bounding box" || (isPointLike && how != "contains")) candidates
+      else {
+        // Refine with real geometry tests; prepare once per row (rows with
+        // large envelopes amortize over many candidate cells).
+        val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+        candidates.filter { ref =>
+          val (minx, miny, maxx, maxy) = Bng.bounds(ref)
+          val cell = Wkb.box(minx, miny, maxx, maxy)
+          if (how == "contains") pg.contains(cell) else pg.intersects(cell)
+        }
+      }
+    new GenericArrayData(refs.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (x, y) -> single BNG grid ref string. Point fast path: pure integer
+  * math, no geometry allocation at all.
+  */
+case class BngPointRef(left: Expression, right: Expression, resolution: Long)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    UTF8String.fromString(
+      Bng.gridRef(x.asInstanceOf[Double], y.asInstanceOf[Double], resolution))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Grid ref -> [minx, miny, maxx, maxy] (reference `_bng_to_bounds`,
+  * `_dataframe.py:43-55`).
+  */
+case class BngToBounds(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val (minx, miny, maxx, maxy) = Bng.bounds(v.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(Array(minx, miny, maxx, maxy))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (x, y) -> packed long cell id (compact join key; long equi-joins beat
+  * string keys in shuffle width and comparison cost at 10^12 rows).
+  */
+case class BngCellId(left: Expression, right: Expression, resolution: Long)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Bng.cellId(x.asInstanceOf[Double], y.asInstanceOf[Double], resolution)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** (gridRef, ring) -> Array[String] of grid refs in square ring `ring`
+  * around the cell (ring 0 = the cell itself). Drives kNN cell-ring
+  * expansion (north-rule J6).
+  */
+case class BngCellRing(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(refAny: Any, ringAny: Any): Any = {
+    val (e, n, res) = Bng.parse(refAny.asInstanceOf[UTF8String].toString)
+    val r = ringAny.asInstanceOf[Int]
+    val eIdx = e / res
+    val nIdx = n / res
+    val maxE = Constants.BngXMax / res - 1
+    val maxN = Constants.BngYMax / res - 1
+    val out = Seq.newBuilder[UTF8String]
+    if (r == 0) out += UTF8String.fromString(Bng.gridRef(e.toDouble, n.toDouble, res))
+    else {
+      var de = -r
+      while (de <= r) {
+        var dn = -r
+        while (dn <= r) {
+          if (math.max(math.abs(de), math.abs(dn)) == r) {
+            val ee = eIdx + de
+            val nn = nIdx + dn
+            if (ee >= 0 && ee <= maxE && nn >= 0 && nn <= maxN)
+              out += UTF8String.fromString(
+                Bng.gridRef((ee * res).toDouble, (nn * res).toDouble, res))
+          }
+          dn += 1
+        }
+        de += 1
+      }
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

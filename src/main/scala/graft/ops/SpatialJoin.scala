@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.geo.GeoExpressions._
+import graft.index.IndexExpressions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cell-indexed spatial join (graft operator J5, SURVEY.md §2.3): the
+  * classic PBSM filter-refine plan expressed declaratively so Catalyst
+  * keeps every optimization.
+  *
+  *   1. FILTER: index both sides into BNG cells at `resolution`
+  *      (points: one cell via pure integer math; polygons: array of
+  *      intersecting cells, exploded) and equi-join on the cell ref.
+  *   2. REFINE: exact JTS predicate on the candidate pairs.
+  *   3. DEDUPE: a polygon spanning k cells meets a point at most once per
+  *      cell — `dropDuplicates` on the pair key removes multi-cell dupes.
+  *
+  * Scale shape: the join key is a string/long cell id, so the physical
+  * strategy is Catalyst's choice — broadcast-hash when the polygon side is
+  * small (the common dim-table case; we hint it explicitly), sort-merge on
+  * cell otherwise. At 10^12 rows the points side never shuffles more than
+  * once, and AQE + the salting helpers (Salting.scala) split hot cells.
+  */
+object SpatialJoin {
+
+  /** Points (x, y columns) vs polygons (WKB geometry column).
+    *
+    * @param points     left side with `pointId`, x, y columns
+    * @param polygons   right side with `polyId` and `geomCol` WKB column
+    * @param resolution BNG cell size in metres (10 km default per north rule)
+    * @param broadcastPolys hint broadcast for the indexed polygon side
+    * @param predicate  "covers" (closed boundaries, default) or "contains"
+    */
+  def pointInPolygon(
+      points: DataFrame, x: String, y: String,
+      polygons: DataFrame, geomCol: String,
+      resolution: Long = 10000L,
+      broadcastPolys: Boolean = true,
+      predicate: String = "covers"): DataFrame = {
+
+    // Polygon side: explode to one row per intersecting cell.
+    val polyCells = polygons
+      .withColumn("__cell__", explode(bng_index(col(geomCol), resolution, "intersects")))
+    val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells
+
+    // Point side: single-cell fast path, no geometry allocation.
+    val ptCells = points.withColumn("__cell__",
+      bng_index_point(col(x), col(y), resolution))
+
+    val refined = ptCells
+      .join(polyIndexed, Seq("__cell__"))
+      .filter(
+        if (predicate == "contains")
+          st_contains(col(geomCol), st_point(col(x), col(y)))
+        else st_covers(col(geomCol), st_point(col(x), col(y))))
+      .drop("__cell__")
+    refined
+  }
+
+  /** Generic geometry-vs-geometry spatial join on any JTS predicate.
+    * Both sides explode to cells; pairs meeting in multiple cells are
+    * deduped on the caller-supplied key columns.
+    */
+  def geomJoin(
+      left: DataFrame, leftGeom: String, leftKey: String,
+      right: DataFrame, rightGeom: String, rightKey: String,
+      resolution: Long = 10000L,
+      predicate: String = "intersects",
+      broadcastRight: Boolean = false): DataFrame = {
+    val l = left.withColumn("__cell__",
+      explode(bng_index(col(leftGeom), resolution, "intersects")))
+    val r0 = right.withColumn("__cell__",
+      explode(bng_index(col(rightGeom), resolution, "intersects")))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val pred = predicate match {
+      case "contains"   => st_contains(col(leftGeom), col(rightGeom))
+      case "covers"     => st_covers(col(leftGeom), col(rightGeom))
+      case "within"     => st_within(col(leftGeom), col(rightGeom))
+      case _            => st_intersects(col(leftGeom), col(rightGeom))
+    }
+    l.join(r, Seq("__cell__"))
+      .filter(pred)
+      .drop("__cell__")
+      .dropDuplicates(leftKey, rightKey)
+  }
+}

@@ -1,0 +1,428 @@
+package graft.run
+
+import graft.geo.GeoExpressions._
+import graft.index.IndexExpressions._
+import graft.ops.{Categorize, KnnJoin, SpatialJoin}
+import graft.raster.Rasterize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-facing query catalogue: every operator from SURVEY.md §2
+  * exposed over the shared parquet tables, paired (in SparkEntry.oracleSql)
+  * with DuckDB-executable oracle SQL.
+  *
+  * Spatial queries need geometry the TPC-H-ish tables don't carry, so
+  * points/polygons are derived with pure integer arithmetic on the keys —
+  * the SAME arithmetic the oracle SQL runs — while the Spark side goes
+  * through the real engine path (Catalyst cell-encoder expressions, JTS
+  * refinement, scanline rasterization, ring-expansion kNN). Constants are
+  * small primes; products stay far below 2^63 (DuckDB errors on overflow).
+  */
+object GraftQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic point geocode of documents (shared with oracle SQL). */
+  def docPoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      ((col("doc_id") * 104729L + 12345L) % 700000L).as("x"),
+      ((col("doc_id") * 130363L + 54321L) % 1300000L).as("y"),
+      col("lang"))
+
+  private val docPointsSql =
+    """SELECT doc_id,
+      |       (doc_id * 104729 + 12345) % 700000 AS x,
+      |       (doc_id * 130363 + 54321) % 1300000 AS y,
+      |       lang
+      |FROM documents""".stripMargin
+
+  /** Deterministic 50 km boxes per nation (shared with oracle SQL). */
+  def nationBoxes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("nation_key"),
+      ((col("n_nationkey").cast("long") * 99991L + 7L) % 650000L).as("px0"),
+      ((col("n_nationkey").cast("long") * 299993L + 11L) % 1250000L).as("py0"))
+
+  private val nationBoxesSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+      |       (CAST(n_nationkey AS BIGINT) * 99991 + 7) % 650000 AS px0,
+      |       (CAST(n_nationkey AS BIGINT) * 299993 + 11) % 1250000 AS py0
+      |FROM nation""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Relational core (reference §2.2/§2.3/§2.4 — the call_method surface)
+  // ------------------------------------------------------------------
+
+  /** P1/P2/A1: TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+      |       ROUND(AVG(l_discount), 6) AS avg_disc,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1: three-way equi-join with explicit broadcast of the dims. */
+  def q2Join(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val q2Sql: String =
+    """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** P2/A3: TPC-H Q6-style selective filter + single agg (predicate must
+    * push to the parquet scan).
+    */
+  def q3Filter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q3Sql: String =
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window top-k: 3 priciest orders per customer. */
+  def q4Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin
+
+  /** Sort + limit (deterministic tie-break on the key). */
+  def q5SortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val q5Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Categorize / lookup join (reference §2.6: A2 + J2)
+  // ------------------------------------------------------------------
+
+  /** A2: dense code assignment, deterministic sorted order. */
+  def q6Categorize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("lang")).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("lang"))) - 1).cast("long"))
+
+  val q6Sql: String =
+    """SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
+      |FROM (SELECT DISTINCT lang FROM documents)""".stripMargin
+
+  /** J2: broadcast lookup join applying the codes. */
+  def q7LookupJoin(spark: SparkSession, dir: String): DataFrame =
+    Categorize.categorizeColumnPlan(t(spark, dir, "documents"), "lang", "lang_code")
+      .select(col("doc_id"), col("lang"), col("lang_code"))
+
+  val q7Sql: String =
+    """SELECT doc_id, lang,
+      |       CAST(DENSE_RANK() OVER (ORDER BY lang) - 1 AS BIGINT) AS lang_code
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Dedup / text analysis (training-data pipeline ops)
+  // ------------------------------------------------------------------
+
+  /** Exact dedup via content hash (hash-groupBy; map-side combine). */
+  def q8DedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  val q8Sql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      |       COUNT(*) AS dup_count
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Streaming-shaped hourly aggregation (batch equivalent of the
+    * Structured Streaming windowed agg in graft.streaming).
+    */
+  def q9Hourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  val q9Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Text quality metrics: length / token / punctuation counts (pure
+    * integer string math so the oracle matches bit-for-bit).
+    */
+  def q10TextQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))
+        + 1).cast("long").as("n_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit("\\."), lit(""))))
+        .cast("long").as("n_periods"))
+
+  val q10Sql: String =
+    """SELECT doc_id,
+      |       CAST(LENGTH(text) AS BIGINT) AS len,
+      |       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      |       CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_periods
+      |FROM documents""".stripMargin
+
+  /** Document fingerprint: normalized-content hash prefix. */
+  def q11Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      substring(md5(lower(trim(col("text"))).cast("binary")), 1, 16).as("fp"))
+
+  val q11Sql: String =
+    """SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Spatial: cell index / tiles / joins / kNN / rasterize
+  // ------------------------------------------------------------------
+
+  /** U1/U2: BNG 10 km cell assignment + cell bounds via the Catalyst
+    * cell-encoder expressions; oracle recomputes the OSGB letter math in
+    * SQL.
+    */
+  def q12BngCell(spark: SparkSession, dir: String): DataFrame =
+    docPoints(spark, dir)
+      .withColumn("bng10",
+        bng_index_point(col("x").cast("double"), col("y").cast("double"), 10000L))
+      .withColumn("b", bng_to_bounds(col("bng10")))
+      .select(col("doc_id"), col("bng10"),
+        element_at(col("b"), 1).as("minx"),
+        element_at(col("b"), 2).as("miny"))
+
+  val q12Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |c AS (
+      |  SELECT doc_id, x, y,
+      |         CAST(FLOOR(x / 100000) AS BIGINT) AS e1,
+      |         CAST(FLOOR(y / 100000) AS BIGINT) AS n1
+      |  FROM pts)
+      |SELECT doc_id,
+      |       substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST((19 - n1) - ((19 - n1) % 5) + FLOOR((e1 + 10) / 5) AS INT) + 1, 1)
+      |       || substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST(((19 - n1) * 5) % 25 + (e1 % 5) AS INT) + 1, 1)
+      |       || CAST(CAST(FLOOR((x % 100000) / 10000) AS INT) AS VARCHAR)
+      |       || CAST(CAST(FLOOR((y % 100000) / 10000) AS INT) AS VARCHAR) AS bng10,
+      |       CAST(FLOOR(x / 10000) AS DOUBLE) * 10000 AS minx,
+      |       CAST(FLOOR(y / 10000) AS DOUBLE) * 10000 AS miny
+      |FROM c""".stripMargin
+
+  /** Tile-assignment counts per 10 km cell (the north-rule throughput
+    * kernel).
+    */
+  def q13TileCounts(spark: SparkSession, dir: String): DataFrame =
+    docPoints(spark, dir)
+      .withColumn("bng10",
+        bng_index_point(col("x").cast("double"), col("y").cast("double"), 10000L))
+      .groupBy(col("bng10"))
+      .agg(count(lit(1)).as("n"))
+
+  val q13Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |c AS (
+      |  SELECT CAST(FLOOR(x / 100000) AS BIGINT) AS e1,
+      |         CAST(FLOOR(y / 100000) AS BIGINT) AS n1, x, y
+      |  FROM pts)
+      |SELECT substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST((19 - n1) - ((19 - n1) % 5) + FLOOR((e1 + 10) / 5) AS INT) + 1, 1)
+      |       || substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST(((19 - n1) * 5) % 25 + (e1 % 5) AS INT) + 1, 1)
+      |       || CAST(CAST(FLOOR((x % 100000) / 10000) AS INT) AS VARCHAR)
+      |       || CAST(CAST(FLOOR((y % 100000) / 10000) AS INT) AS VARCHAR) AS bng10,
+      |       COUNT(*) AS n
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** J5: cell-indexed point-in-polygon spatial join through the real
+    * filter-refine engine path (BNG cell equi-join + JTS covers).
+    */
+  def q14SpatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir)
+      .select(col("doc_id"), col("x").cast("double").as("x"),
+        col("y").cast("double").as("y"))
+    val polys = nationBoxes(spark, dir)
+      .withColumn("geometry", st_box(
+        col("px0").cast("double"), col("py0").cast("double"),
+        (col("px0") + 50000L).cast("double"), (col("py0") + 50000L).cast("double")))
+      .select(col("nation_key"), col("geometry"))
+    SpatialJoin.pointInPolygon(pts, "x", "y", polys, "geometry",
+      resolution = 10000L, broadcastPolys = true, predicate = "covers")
+      .select(col("doc_id"), col("nation_key"))
+  }
+
+  val q14Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |polys AS ($nationBoxesSql)
+      |SELECT p.doc_id, q.nation_key
+      |FROM pts p, polys q
+      |WHERE p.x >= q.px0 AND p.x <= q.px0 + 50000
+      |  AND p.y >= q.py0 AND p.y <= q.py0 + 50000""".stripMargin
+
+  /** J6: kNN via BNG cell-ring expansion (k=5, 100 km cells). */
+  def q15Knn(spark: SparkSession, dir: String): DataFrame = {
+    val queries = nationBoxes(spark, dir).select(
+      col("nation_key"),
+      ((col("nation_key") * 37199L + 101L) % 700000L).cast("double").as("qx"),
+      ((col("nation_key") * 54011L + 303L) % 1300000L).cast("double").as("qy"))
+    val data = docPoints(spark, dir).select(
+      col("doc_id"), col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    KnnJoin.knn(queries, "nation_key", "qx", "qy",
+        data, "doc_id", "x", "y", k = 5, resolution = 100000L)
+      .select(col("nation_key"), col("doc_id"),
+        col("dist2").cast("long").as("dist2"),
+        col("rank").cast("long").as("rnk"))
+  }
+
+  val q15Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |nb AS ($nationBoxesSql),
+      |q AS (
+      |  SELECT nation_key,
+      |         (nation_key * 37199 + 101) % 700000 AS qx,
+      |         (nation_key * 54011 + 303) % 1300000 AS qy
+      |  FROM nb),
+      |d AS (
+      |  SELECT q.nation_key, p.doc_id,
+      |         (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2
+      |  FROM q, pts p),
+      |r AS (
+      |  SELECT nation_key, doc_id, dist2,
+      |         ROW_NUMBER() OVER (PARTITION BY nation_key
+      |                            ORDER BY dist2, doc_id) AS rnk
+      |  FROM d)
+      |SELECT nation_key, doc_id, CAST(dist2 AS BIGINT) AS dist2, rnk
+      |FROM r WHERE rnk <= 5""".stripMargin
+
+  /** U4/R1: tile materialization through the real scanline/burn kernel —
+    * points burn into per-10km-tile rasters at 100 m cells (last write
+    * wins in doc_id order), then each tile array is summarized so the
+    * oracle can recompute it relationally.
+    */
+  def q16RasterBurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Categorize.categorizeColumnPlan(
+        docPoints(spark, dir), "lang", "lang_code")
+      .select(col("doc_id"), col("x"), col("y"), col("lang_code"))
+      .as[(Long, Long, Long, Long)]
+    pts.groupByKey { case (_, x, y, _) => (x / 10000L, y / 10000L) }
+      .flatMapGroups { (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)]) =>
+        val (te, tn) = key
+        val grid = Rasterize.empty(
+          minx = te * 10000d, miny = tn * 10000d, cellSize = 100d, cells = 100,
+          fill = -1d)
+        rows.toArray.sortBy(_._1).foreach { case (_, x, y, code) =>
+          Rasterize.burnPoint(grid, x.toDouble, y.toDouble, code.toDouble)
+        }
+        var burned = 0L
+        var sum = 0L
+        grid.data.foreach { v => if (v >= 0) { burned += 1; sum += v.toLong } }
+        Iterator((te, tn, burned, sum))
+      }
+      .toDF("tile_e", "tile_n", "burned_cells", "value_sum")
+  }
+
+  val q16Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |coded AS (
+      |  SELECT doc_id, x, y,
+      |         CAST(DENSE_RANK() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
+      |  FROM pts),
+      |cells AS (
+      |  SELECT CAST(FLOOR(x / 10000) AS BIGINT) AS tile_e,
+      |         CAST(FLOOR(y / 10000) AS BIGINT) AS tile_n,
+      |         CAST(FLOOR(x / 100) AS BIGINT) AS ce,
+      |         CAST(FLOOR(y / 100) AS BIGINT) AS cn,
+      |         code,
+      |         ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR(x / 100) AS BIGINT),
+      |                                         CAST(FLOOR(y / 100) AS BIGINT)
+      |                            ORDER BY doc_id DESC) AS rn
+      |  FROM coded)
+      |SELECT tile_e, tile_n, COUNT(*) AS burned_cells,
+      |       CAST(SUM(code) AS BIGINT) AS value_sum
+      |FROM cells WHERE rn = 1 GROUP BY tile_e, tile_n""".stripMargin
+
+  /** ANN top-k by exact quantized dot product (integer math end to end so
+    * the oracle is bit-exact; the float cosine variant is exposed
+    * separately as a rows-only query).
+    */
+  def q17AnnDot(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dot = aggregate(
+      zip_with(col("qe"), col("embedding"), (a, b) =>
+        (floor(a.cast("double") * 1000) * floor(b.cast("double") * 1000)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("dot"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val q17Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |pos AS (SELECT UNNEST(range(1, 65)) AS i),
+      |dots AS (
+      |  SELECT q.qid, e.vec_id,
+      |         CAST(SUM(CAST(FLOOR(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT)
+      |                * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+      |              AS BIGINT) AS dot
+      |  FROM q, embeddings e, pos
+      |  WHERE e.vec_id <> q.qid
+      |  GROUP BY q.qid, e.vec_id),
+      |r AS (
+      |  SELECT qid, vec_id, dot,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+      |  FROM dots)
+      |SELECT qid, vec_id, dot, rnk FROM r WHERE rnk <= 10""".stripMargin
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.input.{PartitionMetric, SnapshotLog}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotLogSpec extends AnyFunSuite {
+
+  test("commit / head / resume round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("snaplog").toString
+    val log = new SnapshotLog(dir)
+    assert(log.head.isEmpty)
+
+    val m1 = Seq(PartitionMetric(0, 100, 4096, "AA00", "SZ99"))
+    val s1 = log.commit("ingest", 100, s"$dir/pages", m1, 1234)
+    assert(s1.snapshotId == 0 && s1.parentId == -1)
+
+    val s2 = log.commit("index", 100, s"$dir/indexed",
+      Seq(PartitionMetric(0, 60, 100), PartitionMetric(1, 40, 80)), 55)
+    assert(s2.snapshotId == 1 && s2.parentId == 0)
+
+    // Reopen (resume): head is the index snapshot; stage lookup works.
+    val log2 = new SnapshotLog(dir)
+    assert(log2.head.map(_.stage).contains("index"))
+    assert(log2.committed("ingest").map(_.rowCount).contains(100L))
+    assert(log2.committed("tiles").isEmpty)
+    val metrics = log2.committed("index").get.partitionMetrics
+    assert(metrics.map(_.rows).sum == 100)
+  }
+
+  test("pipeline resume skips committed stages") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("pipeck").toString
+    val out1 = graft.run.Pipeline.runCheckpointed(spark, 300, dir)
+    val n1 = out1.count()
+    val log = new SnapshotLog(dir)
+    val headAfterFirst = log.head.get.snapshotId
+    // Second run: nothing recomputed, same result, HEAD unchanged.
+    val out2 = graft.run.Pipeline.runCheckpointed(spark, 300, dir)
+    assert(out2.count() == n1)
+    assert(new SnapshotLog(dir).head.get.snapshotId == headAfterFirst)
+  }
+}
