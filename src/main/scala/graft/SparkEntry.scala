@@ -37,7 +37,19 @@ object SparkEntry {
     "q14_spatial_join" -> (GraftQueries.q14SpatialJoin _),
     "q15_knn" -> (GraftQueries.q15Knn _),
     "q16_raster_burn" -> (GraftQueries.q16RasterBurn _),
-    "q17_ann_topk" -> (GraftQueries.q17AnnDot _)
+    "q17_ann_topk" -> (GraftQueries.q17AnnDot _),
+    "q18_semi_anti_join" -> (GraftQueries.q18SemiAnti _),
+    "q19_set_ops" -> (GraftQueries.q19SetOps _),
+    "q20_minhash_lsh" -> (GraftQueries.q20Minhash _),
+    "q21_simhash" -> (GraftQueries.q21Simhash _),
+    "q22_ngram_jaccard" -> (GraftQueries.q22NgramJaccard _),
+    "q23_embed_neardup" -> (GraftQueries.q23EmbedNearDup _),
+    "q24_ann_cosine" -> (GraftQueries.q24AnnCosine _),
+    "q25_ivf_ann" -> (GraftQueries.q25IvfAnn _),
+    "q26_lang_quality" -> (GraftQueries.q26LangId _),
+    "q27_tokens" -> (GraftQueries.q27Tokens _),
+    "q28_multimodal_decode" -> (GraftQueries.q28Multimodal _),
+    "q29_stream_hourly" -> (GraftQueries.q29StreamHourly _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -60,6 +72,14 @@ object SparkEntry {
     "q14_spatial_join" -> GraftQueries.q14Sql,
     "q15_knn" -> GraftQueries.q15Sql,
     "q16_raster_burn" -> GraftQueries.q16Sql,
-    "q17_ann_topk" -> GraftQueries.q17Sql
+    "q17_ann_topk" -> GraftQueries.q17Sql,
+    "q18_semi_anti_join" -> GraftQueries.q18Sql,
+    "q19_set_ops" -> GraftQueries.q19Sql,
+    "q27_tokens" -> GraftQueries.q27Sql,
+    "q28_multimodal_decode" -> GraftQueries.q28Sql,
+    "q29_stream_hourly" -> GraftQueries.q29Sql
+    // q20-q26: LSH/float-cosine internals are not SQL-expressible —
+    // driver records rows-only; exactness is pinned in ScalaTest against
+    // brute-force oracles instead.
   )
 }

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column support: image/audio/video payloads ride through the
+  * engine as opaque `BinaryType` columns with typed metadata structs.
+  *
+  * The decode kernels are STUBS by design — no image/audio codecs ship in
+  * this container — but the Spark-side plumbing is real and tested:
+  * schema, per-partition batched decoding (one decoder instance per
+  * partition, the same shape a JNI/FFmpeg binding needs), deterministic
+  * fake decode so tests can assert exact values, and feature columns that
+  * downstream ops (dedup, ANN) consume.
+  */
+object Multimodal {
+
+  /** Typed decoded-media metadata row. */
+  case class MediaMeta(
+      id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_byte: Double)
+
+  /** Deterministic FAKE decode of an opaque binary payload.
+    * Width/height/channels derive from the byte length (stable,
+    * SQL-recomputable); mean_byte summarizes content. A real build swaps
+    * `decodeOne` for an actual codec — everything around it stays.
+    */
+  def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    MediaMeta(
+      id = id,
+      n_bytes = n,
+      width = (1L + n % 64L).toInt,
+      height = (1L + n % 37L).toInt,
+      channels = (1L + n % 3L).toInt,
+      mean_byte = if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
+  /** Batched decode over a (id, payload) binary column: mapPartitions so a
+    * real decoder would initialize once per partition/batch, not per row.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // [decoder init would go here — once per partition]
+        it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** Deterministic fake frame-sample: byte-slices of the payload standing
+    * in for decoded frames (`every`-th 16-byte window), exploded one row
+    * per frame — the partitioning/UDTF shape of real video frame
+    * extraction.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      every: Int = 4): DataFrame = {
+    val frameUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) Array.empty[Array[Byte]]
+      else bytes.grouped(16).zipWithIndex
+        .collect { case (w, i) if i % every == 0 => w }
+        .toArray
+    }
+    df.select(col(idCol),
+      posexplode(frameUdf(col(binCol))).as(Seq("frame_no", "frame")))
+  }
+}

@@ -1,0 +1,266 @@
+package graft.ops
+
+import graft.input.WebTable
+import graft.text.TextAnalysis
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deduplication operators for web-scale training-data pipelines.
+  *
+  * Scale architecture (all variants): signatures are computed row-local
+  * (batched Catalyst expressions, no shuffle), candidate generation is ONE
+  * shuffle on (band, bucket) via explode + self-equi-join, and expensive
+  * exact verification runs only on candidate pairs. No driver-side state;
+  * every kernel is a pure function of the row, so results are identical at
+  * any parallelism.
+  */
+object Dedup {
+
+  // ---------------- exact --------------------------------------------
+
+  /** Exact dedup: one survivor (min orderCol) per identical content. */
+  def exact(df: DataFrame, contentCol: String, orderCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(min(col(orderCol)).as("keep"), count(lit(1)).as("n"))
+
+  // ---------------- MinHash + LSH -------------------------------------
+
+  def minhash_sig(text: Column, numHashes: Int, shingleWidth: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), numHashes, shingleWidth))
+
+  /** LSH candidate pairs: band the signature, bucket-join, dedupe.
+    * Bands x rowsPerBand must equal numHashes. Returns (a, b) id pairs
+    * with a < b plus the estimated Jaccard (signature agreement rate).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleWidth: Int = 3, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("__id__"),
+      minhash_sig(col(textCol), numHashes, shingleWidth).as("__sig__"))
+    // One row per band: bucket key = hash of the band's signature slice.
+    val bandKeys = array((0 until bands).map(b =>
+      hash(slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val banded = sigs.select(col("__id__"), col("__sig__"),
+      posexplode(bandKeys).as(Seq("__band__", "__bucket__")))
+    val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
+      col("__band__"), col("__bucket__"))
+    val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
+      col("__band__"), col("__bucket__"))
+    l.join(r, Seq("__band__", "__bucket__"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .dropDuplicates("a", "b")
+  }
+
+  /** Full near-dup pipeline: LSH candidates -> exact shingle-Jaccard
+    * verify (only on candidates) -> pairs over threshold.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, shingleWidth: Int = 3,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+    val texts = df.select(col(idCol), col(textCol))
+    val withTexts = cands
+      .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta__")), Seq("a"))
+      .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb__")), Seq("b"))
+    withTexts
+      .withColumn("jaccard", jaccard_shingles(col("__ta__"), col("__tb__"),
+        lit(shingleWidth)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  def jaccard_shingles(a: Column, b: Column, w: Column): Column =
+    Bridge.column(JaccardShingles(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(w)))
+
+  // ---------------- SimHash -------------------------------------------
+
+  def simhash64(text: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(text)))
+
+  /** SimHash near-dup candidates: 64-bit simhash, banded into 4 x 16-bit
+    * chunks (two docs within Hamming distance 3 share at least one exact
+    * chunk — pigeonhole), verified by exact Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val sigs = df.select(col(idCol).as("__id__"), simhash64(col(textCol)).as("__sh__"))
+    val chunkKeys = array((0 until chunks).map(c =>
+      shiftrightunsigned(col("__sh__"), c * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = sigs.select(col("__id__"), col("__sh__"),
+      posexplode(chunkKeys).as(Seq("__chunk__", "__key__")))
+    val l = banded.select(col("__id__").as("a"), col("__sh__").as("sha"),
+      col("__chunk__"), col("__key__"))
+    val r = banded.select(col("__id__").as("b"), col("__sh__").as("shb"),
+      col("__chunk__"), col("__key__"))
+    l.join(r, Seq("__chunk__", "__key__"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  // ---------------- embedding near-dup (cosine LSH) ---------------------
+
+  def rhp_sign(vec: Column, bits: Int, seed: Long): Column =
+    Bridge.column(RandomHyperplaneSign(Bridge.expression(vec), bits, seed))
+
+  /** Embedding near-duplicates: random-hyperplane LSH sign buckets (on
+    * `bits` seeded hyperplanes, banded), cosine-verified on candidates.
+    * Probe-multiplicity: `tables` independent sign functions to boost
+    * recall; union of candidates, exact cosine refine.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, tables: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
+    val candidates = (0 until tables).map { t =>
+      val sigs = base.withColumn("__key__", rhp_sign(col("__v__"), bits, 1000L + t))
+      val l = sigs.select(col("__id__").as("a"), col("__v__").as("va"), col("__key__"))
+      val r = sigs.select(col("__id__").as("b"), col("__v__").as("vb"), col("__key__"))
+      l.join(r, Seq("__key__")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("va"), col("vb"))
+    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    candidates
+      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Cosine similarity of two float arrays via codegen'd built-ins
+    * (zip_with + aggregate) in double precision, array order fixed.
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v)
+    val na = aggregate(a, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+}
+
+/** text -> Array[Long] MinHash signature (deterministic seeded affine
+  * permutations over 64-bit shingle hashes).
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleWidth: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // Seeded per-permutation multipliers (odd) and offsets.
+  @transient private lazy val coeffs: Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      (WebTable.splitmix64(2654435761L + i) | 1L, WebTable.splitmix64(40503L + i))
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val shingles = TextAnalysis.shingleHashes(
+      v.asInstanceOf[UTF8String].toString, shingleWidth)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val (a, b) = coeffs(i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = a * shingles(j) + b
+        if (h < mn) mn = h
+        j += 1
+      }
+      sig(i) = if (shingles.isEmpty) a + b else mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> 64-bit SimHash over BPE-ish tokens (unit weights). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = TextAnalysis.tokenize(
+      v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = WebTable.hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (textA, textB, w) -> exact Jaccard over word w-shingle hash sets. */
+case class JaccardShingles(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, w: Any): Any = {
+    val wi = w.asInstanceOf[Int]
+    val sa = TextAnalysis.shingleHashes(a.asInstanceOf[UTF8String].toString, wi).toSet
+    val sb = TextAnalysis.shingleHashes(b.asInstanceOf[UTF8String].toString, wi).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size.toDouble
+      inter / (sa.size + sb.size - inter)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Float vector -> `bits`-bit random-hyperplane sign key. Hyperplane
+  * components are deterministic pseudo-gaussians from splitmix64 (sum of
+  * three uniforms, centered) keyed by (seed, bit, dim) — identical on
+  * every executor without shipping matrices.
+  */
+case class RandomHyperplaneSign(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var key = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val h = WebTable.splitmix64(seed * 1000003L + b * 131071L + d)
+        // uniform in [-0.5, 0.5): deterministic pseudo-gaussian-ish weight
+        val wgt = (java.lang.Long.remainderUnsigned(h, 1000000L) / 1000000.0) - 0.5
+        dot += wgt * arr.getFloat(d)
+        d += 1
+      }
+      if (dot >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

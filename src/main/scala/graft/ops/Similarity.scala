@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (broadcast queries, one scan of the
+  * corpus, window top-k — exact, O(|corpus| x |queries|), the right plan
+  * when queries are few).
+  *
+  * Scale path: IVF — k-means-lite coarse quantizer trained on a seeded
+  * sample (driver-side tiny), corpus partitioned by nearest centroid
+  * (one shuffle, reusable across queries), queries probe `nprobe` nearest
+  * centroid lists only. At 10^12 rows the centroid assignment is the
+  * only full scan; per-query cost drops by ~nlist/nprobe.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k. queries: (qid, qvec); corpus:
+    * (id, vec). Returns (qid, id, cosine, rank<=k).
+    */
+  def bruteForceTopK(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val pairs = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", Dedup.cosineCol(col(qVec), col(vec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(id))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(id), col("cosine"), col("rank"))
+  }
+
+  /** Train `nlist` centroids with a few Lloyd iterations on a sample.
+    * Deterministic: sample = first `sampleN` rows by id order; init =
+    * every (sampleN/nlist)-th sampled vector.
+    */
+  def trainCentroids(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int = 5, sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample = corpus.orderBy(col(id)).limit(sampleN)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val stride = math.max(1, sample.length / nlist)
+    var centroids = (0 until nlist).map(i => sample(math.min(i * stride, sample.length - 1))).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) { val t = v(d) - cs(c)(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF ANN top-k: assign corpus to centroid lists, probe the `nprobe`
+    * nearest lists per query. Returns same shape as bruteForceTopK (may
+    * miss true neighbours outside probed lists — recall measured in
+    * SimilaritySpec).
+    */
+  def ivfTopK(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, id, vec, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.map(_.toDouble).toArray, bc.value)
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val vd = v.map(_.toDouble).toArray
+      bc.value.indices.map { c =>
+        var d2 = 0.0
+        var d = 0
+        while (d < vd.length) { val t = vd(d) - bc.value(c)(d); d2 += t * t; d += 1 }
+        (c, d2)
+      }.sortBy(x => (x._2, x._1)).take(nprobe).map(_._1)
+    }
+
+    val listed = corpus.withColumn("__list__", assignUdf(col(vec)))
+    val probed = queries.withColumn("__list__", explode(probeUdf(col(qVec))))
+    val pairs = listed.join(broadcast(probed), Seq("__list__"))
+      .withColumn("cosine", Dedup.cosineCol(col(qVec), col(vec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(id))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(id), col("cosine"), col("rank"))
+  }
+}

@@ -425,4 +425,157 @@ object GraftQueries {
       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
       |  FROM dots)
       |SELECT qid, vec_id, dot, rnk FROM r WHERE rnk <= 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Semi/anti joins, set ops (SURVEY.md §2.3/§2.8 extensions)
+  // ------------------------------------------------------------------
+
+  /** Semi/anti join: per market segment, customers with vs without
+    * orders (left_semi / left_anti — EXISTS / NOT EXISTS).
+    */
+  def q18SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders").select(col("o_custkey"))
+    val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val withoutO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0, Seq("n_with", "n_without"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_mktsegment,
+      |  COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with,
+      |  COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without
+      |FROM (
+      |  SELECT c_mktsegment,
+      |         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+      |  FROM customer)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Set operations: intersect / except of big-spender custkeys. */
+  def q19SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("k")).distinct()
+    val richCust = t(spark, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    bigOrders.intersect(richCust).withColumn("tag", lit("both"))
+      .unionByName(bigOrders.except(richCust).withColumn("tag", lit("only_orders")))
+      .unionByName(richCust.except(bigOrders).withColumn("tag", lit("only_rich")))
+  }
+
+  val q19Sql: String =
+    """WITH bo AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+      |rc AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT k, 'both' AS tag FROM (SELECT k FROM bo INTERSECT SELECT k FROM rc)
+      |UNION ALL
+      |SELECT k, 'only_orders' AS tag FROM (SELECT k FROM bo EXCEPT SELECT k FROM rc)
+      |UNION ALL
+      |SELECT k, 'only_rich' AS tag FROM (SELECT k FROM rc EXCEPT SELECT k FROM bo)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Near-dup dedup family (rows-only: LSH internals aren't SQL)
+  // ------------------------------------------------------------------
+
+  def q20Minhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashCandidates(t(spark, dir, "documents"),
+      "doc_id", "text", numHashes = 64, shingleWidth = 3, bands = 16)
+      .filter(col("est_jaccard") >= 0.5)
+
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(t(spark, dir, "documents"),
+      "doc_id", "text", maxHamming = 3)
+
+  def q22NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashDedup(t(spark, dir, "documents"),
+      "doc_id", "text", threshold = 0.8)
+
+  /** Embedding near-dup: the shared embeddings table has no natural
+    * high-cosine pairs (max ~0.48), so plant perturbed copies of the
+    * first 20 vectors (deterministic) and find them via
+    * random-hyperplane LSH + exact cosine refine.
+    */
+  def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x))
+          .as("embedding"))
+    graft.ops.Dedup.embeddingNearDup(emb.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.95)
+  }
+
+  /** ANN float-cosine top-k (exact baseline, rows-only — float sums are
+    * not oracle-stable across engines; the integer variant q17 is).
+    */
+  def q24AnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ops.Similarity.bruteForceTopK(qs, "qid", "qvec",
+      emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
+  }
+
+  /** IVF-bucketed ANN (the 100TB scale path; recall vs q24 in specs). */
+  def q25IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.ops.Similarity.ivfTopK(qs, "qid", "qvec",
+      emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10,
+      nlist = 16, nprobe = 8)
+  }
+
+  /** Language id (n-gram heuristic; rows-only, accuracy pinned in specs). */
+  def q26LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      graft.text.TextAnalysis.lang_id(col("text")).as("lang_pred"),
+      graft.text.TextAnalysis.quality_score(col("text")).as("quality"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp64"))
+
+  /** BPE-ish tokenizer count — oracle via regexp in both engines. */
+  def q27Tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      graft.text.TextAnalysis.token_count(col("text")).as("n_tokens"))
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** Multimodal plumbing: batched binary decode (stub codec) — the
+    * byte-length-derived metadata is oracle-checkable.
+    */
+  def q28Multimodal(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeMeta(
+        t(spark, dir, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+
+  val q28Sql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |       1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 64 AS width,
+      |       1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 37 AS height,
+      |       1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 3 AS channels
+      |FROM documents""".stripMargin
+
+  /** REAL Structured Streaming run (AvailableNow over the events parquet,
+    * memory sink) — result equals the batch hourly aggregation oracle.
+    */
+  def q29StreamHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runHourlyAvailableNow(spark,
+      s"$dir/events.parquet", s"graft_stream_${System.nanoTime()}")
+
+  val q29Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeMeta: deterministic stub decode, batched per partition") {
+    val payloads = Seq(
+      (1L, Array.fill[Byte](100)(10)),
+      (2L, Array.fill[Byte](65)(20)),
+      (3L, Array.empty[Byte]))
+    val got = Multimodal.decodeMeta(payloads.toDF("id", "bin"), "id", "bin")
+      .collect().map(m => m.id -> m).toMap
+    assert(got(1L).width == 37 && got(1L).height == 27 && got(1L).channels == 2)
+    assert(got(1L).mean_byte == 10.0)
+    assert(got(2L).width == 2 && got(2L).n_bytes == 65)
+    assert(got(3L).mean_byte == 0.0 && got(3L).width == 1)
+  }
+
+  test("sampleFrames: every 4th 16-byte window, exploded with frame_no") {
+    val bytes = Array.tabulate[Byte](16 * 9)(i => i.toByte)
+    val got = Multimodal.sampleFrames(Seq((7L, bytes)).toDF("id", "bin"), "id", "bin")
+      .select("id", "frame_no", "frame")
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(got.length == 3) // windows 0, 4, 8 of 9
+    assert(got.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(got(0)._3.toSeq == bytes.slice(0, 16).toSeq)
+    assert(got(1)._3.toSeq == bytes.slice(64, 80).toSeq)
+  }
+
+  test("streaming hourly agg (AvailableNow) equals batch aggregation") {
+    val batch = spark.read.parquet(s"$sf0/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val streamed = graft.streaming.EventStream.runHourlyAvailableNow(
+      spark, s"$sf0/events.parquet", s"t_stream_${System.nanoTime()}")
+    assertSameRows(streamed, batch)
+  }
+}
