@@ -49,7 +49,9 @@ object SparkEntry {
     "q26_lang_quality" -> (GraftQueries.q26LangId _),
     "q27_tokens" -> (GraftQueries.q27Tokens _),
     "q28_multimodal_decode" -> (GraftQueries.q28Multimodal _),
-    "q29_stream_hourly" -> (GraftQueries.q29StreamHourly _)
+    "q29_stream_hourly" -> (GraftQueries.q29StreamHourly _),
+    "q30_cell_encoders" -> (GraftQueries.q30CellEncoders _),
+    "q31_raster_store" -> (GraftQueries.q31RasterStore _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -77,7 +79,8 @@ object SparkEntry {
     "q19_set_ops" -> GraftQueries.q19Sql,
     "q27_tokens" -> GraftQueries.q27Sql,
     "q28_multimodal_decode" -> GraftQueries.q28Sql,
-    "q29_stream_hourly" -> GraftQueries.q29Sql
+    "q29_stream_hourly" -> GraftQueries.q29Sql,
+    "q31_raster_store" -> GraftQueries.q31Sql
     // q20-q26: LSH/float-cosine internals are not SQL-expressible —
     // driver records rows-only; exactness is pinned in ScalaTest against
     // brute-force oracles instead.

@@ -84,18 +84,21 @@ object Constants {
     }.getOrElse("float64")
   }
 
-  /** Widen dtype when the nodata sentinel collides with the column max
-    * (reference `_dataframe.py:361-398`).
+  /** Minimum dtype that both holds [lo, hi] AND has a nodata sentinel not
+    * colliding with the column max (reference `_get_minimum_dtypes_and
+    * _nodata` + `_next_dtype`, `_dataframe.py:347-398`): walk the ladder,
+    * skipping dtypes whose range doesn't hold the data or whose sentinel
+    * would be a real value.
     */
   def dtypeAndNodata(lo: Double, hi: Double): (String, Double) = {
-    var d = minimumDtype(lo, hi)
-    var nodata = DtypeNodata(d)
-    while (!nodata.isNaN && hi >= nodata) {
-      val i = DtypeOrder.indexOf(d)
-      d = DtypeOrder(math.min(i + 1, DtypeOrder.length - 1))
-      nodata = DtypeNodata(d)
-      if (i + 1 >= DtypeOrder.length - 1) return (d, nodata)
-    }
-    (d, nodata)
+    val integral = lo == Math.rint(lo) && hi == Math.rint(hi) &&
+      !lo.isInfinite && !hi.isInfinite
+    val candidates =
+      if (integral) DtypeOrder else DtypeOrder.filter(_.startsWith("float"))
+    candidates.find { d =>
+      val (dlo, dhi) = DtypeRange(d)
+      val nodata = DtypeNodata(d)
+      lo >= dlo && hi <= dhi && (nodata.isNaN || hi < nodata)
+    }.map(d => (d, DtypeNodata(d))).getOrElse(("float64", Double.NaN))
   }
 }

@@ -1,0 +1,122 @@
+package graft.index
+
+/** Coordinate transforms: EPSG:27700 (British National Grid, Airy 1830,
+  * transverse Mercator) <-> WGS84 lat/lng.
+  *
+  * All formulas are the published Ordnance Survey projection equations
+  * ("A guide to coordinate systems in Great Britain") plus the standard
+  * 7-parameter Helmert datum shift — pure deterministic double math, no
+  * external library. Accuracy ~5 m, far below H3/S2 cell sizes at the
+  * resolutions we index (SURVEY.md §7.6 #1).
+  */
+object Transform {
+  // Airy 1830 ellipsoid (OSGB36)
+  private val aAiry = 6377563.396
+  private val bAiry = 6356256.909
+  // GRS80/WGS84 ellipsoid
+  private val aWgs = 6378137.0
+  private val bWgs = 6356752.3141
+  // Transverse Mercator constants for the National Grid
+  private val F0 = 0.9996012717
+  private val lat0 = math.toRadians(49.0)
+  private val lon0 = math.toRadians(-2.0)
+  private val E0 = 400000.0
+  private val N0 = -100000.0
+
+  /** Inverse transverse Mercator: BNG easting/northing -> OSGB36 lat/lon
+    * (radians).
+    */
+  def bngToOsgb36(e: Double, n: Double): (Double, Double) = {
+    val a = aAiry; val b = bAiry
+    val e2 = 1.0 - (b * b) / (a * a)
+    val nr = (a - b) / (a + b)
+    var lat = lat0
+    var m = 0.0
+    // Iterate the meridional arc
+    var iter = 0
+    do {
+      lat = (n - N0 - m) / (a * F0) + lat
+      m = meridionalArc(a, b, nr, lat)
+      iter += 1
+    } while (math.abs(n - N0 - m) >= 0.00001 && iter < 20)
+
+    val sinLat = math.sin(lat); val cosLat = math.cos(lat)
+    val tanLat = sinLat / cosLat
+    val nu = a * F0 / math.sqrt(1 - e2 * sinLat * sinLat)
+    val rho = a * F0 * (1 - e2) / math.pow(1 - e2 * sinLat * sinLat, 1.5)
+    val eta2 = nu / rho - 1
+
+    val tan2 = tanLat * tanLat
+    val VII = tanLat / (2 * rho * nu)
+    val VIII = tanLat / (24 * rho * nu * nu * nu) *
+      (5 + 3 * tan2 + eta2 - 9 * tan2 * eta2)
+    val IX = tanLat / (720 * rho * math.pow(nu, 5)) *
+      (61 + 90 * tan2 + 45 * tan2 * tan2)
+    val secLat = 1.0 / cosLat
+    val X = secLat / nu
+    val XI = secLat / (6 * nu * nu * nu) * (nu / rho + 2 * tan2)
+    val XII = secLat / (120 * math.pow(nu, 5)) * (5 + 28 * tan2 + 24 * tan2 * tan2)
+    val XIIA = secLat / (5040 * math.pow(nu, 7)) *
+      (61 + 662 * tan2 + 1320 * tan2 * tan2 + 720 * math.pow(tan2, 3))
+
+    val dE = e - E0
+    val latOut = lat - VII * dE * dE + VIII * math.pow(dE, 4) - IX * math.pow(dE, 6)
+    val lonOut = lon0 + X * dE - XI * math.pow(dE, 3) + XII * math.pow(dE, 5) -
+      XIIA * math.pow(dE, 7)
+    (latOut, lonOut)
+  }
+
+  private def meridionalArc(a: Double, b: Double, n: Double, lat: Double): Double = {
+    val dLat = lat - lat0
+    val sLat = lat + lat0
+    b * F0 * (
+      (1 + n + 1.25 * n * n + 1.25 * n * n * n) * dLat -
+      (3 * n + 3 * n * n + 2.625 * n * n * n) * math.sin(dLat) * math.cos(sLat) +
+      (1.875 * n * n + 1.875 * n * n * n) * math.sin(2 * dLat) * math.cos(2 * sLat) -
+      (35.0 / 24.0) * n * n * n * math.sin(3 * dLat) * math.cos(3 * sLat))
+  }
+
+  /** Helmert 7-parameter OSGB36 -> WGS84 (published OS values, inverted). */
+  def osgb36ToWgs84(lat: Double, lon: Double): (Double, Double) = {
+    // geodetic -> cartesian on Airy
+    val e2A = 1.0 - (bAiry * bAiry) / (aAiry * aAiry)
+    val sinLat = math.sin(lat); val cosLat = math.cos(lat)
+    val nu = aAiry / math.sqrt(1 - e2A * sinLat * sinLat)
+    val x1 = nu * cosLat * math.cos(lon)
+    val y1 = nu * cosLat * math.sin(lon)
+    val z1 = nu * (1 - e2A) * sinLat
+
+    // Helmert (OSGB36 -> WGS84 = inverse of the published WGS84 -> OSGB36)
+    val tx = 446.448; val ty = -125.157; val tz = 542.060
+    val s = -20.4894e-6
+    val rx = math.toRadians(0.1502 / 3600.0)
+    val ry = math.toRadians(0.2470 / 3600.0)
+    val rz = math.toRadians(0.8421 / 3600.0)
+    val x2 = tx + (1 + s) * x1 - rz * y1 + ry * z1
+    val y2 = ty + rz * x1 + (1 + s) * y1 - rx * z1
+    val z2 = tz - ry * x1 + rx * y1 + (1 + s) * z1
+
+    // cartesian -> geodetic on WGS84 (iterative)
+    val e2W = 1.0 - (bWgs * bWgs) / (aWgs * aWgs)
+    val p = math.sqrt(x2 * x2 + y2 * y2)
+    var latW = math.atan2(z2, p * (1 - e2W))
+    var latPrev = 2 * math.Pi
+    var iter = 0
+    while (math.abs(latW - latPrev) > 1e-12 && iter < 20) {
+      latPrev = latW
+      val nuW = aWgs / math.sqrt(1 - e2W * math.sin(latW) * math.sin(latW))
+      latW = math.atan2(z2 + e2W * nuW * math.sin(latW), p)
+      iter += 1
+    }
+    (latW, math.atan2(y2, x2))
+  }
+
+  /** BNG (metres) -> WGS84 (degrees). The composition used by the H3/S2
+    * encoders.
+    */
+  def bngToWgs84Deg(e: Double, n: Double): (Double, Double) = {
+    val (la, lo) = bngToOsgb36(e, n)
+    val (laW, loW) = osgb36ToWgs84(la, lo)
+    (math.toDegrees(laW), math.toDegrees(loW))
+  }
+}

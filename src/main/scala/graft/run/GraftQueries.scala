@@ -578,4 +578,51 @@ object GraftQueries {
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Batched spherical cell encoders (north rule): H3-style res 7-12 and
+    * S2 levels over the doc points (rows-only — the inverse-TM + Helmert
+    * + hex/Hilbert chain is not SQL-expressible; pinned by H3S2Spec).
+    */
+  def q30CellEncoders(spark: SparkSession, dir: String): DataFrame =
+    docPoints(spark, dir)
+      .withColumn("h3_7", h3_index_point(col("x").cast("double"), col("y").cast("double"), 7))
+      .withColumn("h3_9", h3_index_point(col("x").cast("double"), col("y").cast("double"), 9))
+      .withColumn("h3_12", h3_index_point(col("x").cast("double"), col("y").cast("double"), 12))
+      .withColumn("s2_10", s2_index_point(col("x").cast("double"), col("y").cast("double"), 10))
+      .withColumn("s2_16", s2_index_point(col("x").cast("double"), col("y").cast("double"), 16))
+      .select("doc_id", "h3_7", "h3_9", "h3_12", "s2_10", "s2_16")
+
+  /** Full tile-materialization sink: doc points -> WKB geometry -> tile
+    * shuffle -> scanline burn -> TileStore region writes; returns the
+    * per-tile metrics. burned_cells (distinct 10 km cells per 100 km
+    * tile) and n_rows are order-independent, so the oracle can recompute
+    * them relationally.
+    */
+  def q31RasterStore(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Categorize.categorizeColumnPlan(docPoints(spark, dir), "lang", "lang_code")
+      .withColumn("geometry",
+        st_point(col("x").cast("double"), col("y").cast("double")))
+    val path = java.nio.file.Files.createTempDirectory("graft-q31-store").toString
+    graft.raster.RasterPipeline.toTileStore(
+        pts, "geometry", Seq("lang_code"), path,
+        cellSize = 10000, tileSize = 100000, overwrite = true)
+      .select(col("tile"), col("burned_cells"), col("n_rows"))
+  }
+
+  val q31Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(FLOOR(x / 100000) AS BIGINT) AS e1,
+      |         CAST(FLOOR(y / 100000) AS BIGINT) AS n1,
+      |         CAST(FLOOR(x / 10000) AS BIGINT) AS ce,
+      |         CAST(FLOOR(y / 10000) AS BIGINT) AS cn
+      |  FROM pts)
+      |SELECT substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST((19 - n1) - ((19 - n1) % 5) + FLOOR((e1 + 10) / 5) AS INT) + 1, 1)
+      |       || substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST(((19 - n1) * 5) % 25 + (e1 % 5) AS INT) + 1, 1) AS tile,
+      |       COUNT(DISTINCT ce * 1000 + cn) AS burned_cells,
+      |       COUNT(*) AS n_rows
+      |FROM c GROUP BY 1""".stripMargin
 }
