@@ -1,24 +1,110 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.index.IndexExpressions._
+import graft.geo.GeoExpressions._
+import graft.input.WebTable
+import graft.ops.SpatialJoin
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-run benchmark: one JSON line with the headline metric
+  * (spatial-join + tile-assignment throughput, rows/sec — BASELINE.md)
+  * plus per-query wall seconds for every SparkEntry query.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** One-time (untimed) materialization of the synthetic web table —
+    * generator cost (HTML bytes + text extraction) must not pollute the
+    * join/tile throughput metric. Returns the parquet path.
+    */
+  /** One-time (untimed) materialization of the geocoded url table —
+    * generator cost (HTML synthesis, text extraction) must not pollute
+    * the join/tile throughput metric, and the metric's input is the
+    * narrow (url, x, y) projection a column-pruned scan would deliver.
+    */
+  def materializeWebTable(spark: SparkSession, n: Long): String = {
+    val path = s"/tmp/graft-bench-webtable-$n"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val parts = 256
+      import spark.implicits._
+      spark.range(0L, n, 1L, parts).map { i =>
+        val url = WebTable.urlFor(i)
+        val (x, y) = WebTable.geocode(url)
+        (url, x, y)
+      }.toDF("url", "x", "y")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The north-rule kernel: web table (parquet) -> H3 + S2 + BNG 10 km
+    * cell encoders -> cell-indexed spatial join against polygon dims ->
+    * per-tile aggregation. Returns rows/sec over `n` input rows.
+    */
+  def spatialPipelineThroughput(spark: SparkSession, n: Long): Double = {
+    val path = materializeWebTable(spark, n)
+    val polys = polygonDims(spark)
+    val t0 = System.nanoTime()
+    val pages = spark.read.parquet(path)
+      .withColumn("h3_9", h3_index_point(col("x"), col("y"), 9))
+      .withColumn("s2_12", s2_index_point(col("x"), col("y"), 12))
+    val joined = SpatialJoin.pointInPolygon(
+      pages, "x", "y",
+      polys, "geometry", resolution = 10000L,
+      broadcastPolys = true, predicate = "covers")
+    val tiles = joined
+      .withColumn("bng10", bng_index_point(col("x"), col("y"), 10000L))
+      .groupBy(col("bng10"))
+      .agg(count(lit(1)).as("rows_in_tile"),
+        approx_count_distinct(col("h3_9")).as("h3_cells"),
+        approx_count_distinct(col("s2_12")).as("s2_cells"))
+    tiles.write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    n / secs
+  }
+
+  /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
+  def polygonDims(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until 40L).map { i =>
+      val x0 = java.lang.Long.remainderUnsigned(WebTable.splitmix64(i * 77L), 640000L).toDouble
+      val y0 = java.lang.Long.remainderUnsigned(WebTable.splitmix64(i * 99L), 1240000L).toDouble
+      (i, x0, y0)
+    }.toDF("poly_id", "x0", "y0")
+      .withColumn("geometry", st_box(col("x0"), col("y0"),
+        col("x0") + 60000d, col("y0") + 60000d))
+      .select(col("poly_id"), col("geometry"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline metric (warm-up run first so codegen/JIT don't pollute)
+    spatialPipelineThroughput(spark, math.max(benchRows / 20, 10000L))
+    val rowsPerSec = spatialPipelineThroughput(spark, benchRows)
+
+    // per-query catalogue timings
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,73 @@ object GeoExpressions {
   def st_geomfromtext(g: Column): Column = toCol(StGeomFromText(expr(g)))
   def st_box(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
     toCol(StMakeBox(Seq(expr(minx), expr(miny), expr(maxx), expr(maxy))))
+
+  /** Fused polygon-covers-point predicate over raw coordinates: no WKB
+    * point round-trip, and the (few, repeated after a broadcast join)
+    * polygon geometries are prepared once per thread and cached — the
+    * "prepare-once, batch-evaluate" vectorized-PIP shape (north rule R8).
+    */
+  def st_covers_point(geom: Column, x: Column, y: Column): Column =
+    toCol(StPredicatePoint(expr(geom), expr(x), expr(y), "covers"))
+  def st_contains_point(geom: Column, x: Column, y: Column): Column =
+    toCol(StPredicatePoint(expr(geom), expr(x), expr(y), "contains"))
+}
+
+/** (polyWkb, x, y) -> boolean; prepared-geometry cache keyed by WKB
+  * content hash (thread-local, bounded).
+  */
+case class StPredicatePoint(first: Expression, second: Expression,
+    third: Expression, op: String)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(g: Any, xv: Any, yv: Any): Any = {
+    val wkb = g.asInstanceOf[Array[Byte]]
+    val pg = StPredicatePoint.prepared(wkb)
+    // reuse one mutable point per thread: zero geometry allocation per row
+    val pt = StPredicatePoint.point.get()
+    val coord = pt.getCoordinate
+    coord.x = xv.asInstanceOf[Double]
+    coord.y = yv.asInstanceOf[Double]
+    pt.geometryChanged()
+    if (op == "contains") pg.contains(pt) else pg.covers(pt)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object StPredicatePoint {
+  private[geo] val point = ThreadLocal.withInitial[org.locationtech.jts.geom.Point](
+    () => Wkb.factory.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0)))
+
+  private val cache = ThreadLocal.withInitial[
+      java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry]](
+    () => new java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry](
+        1024, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long,
+          org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean = size() > 512
+    })
+
+  private def hashBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val key = java.lang.Long.valueOf(hashBytes(wkb))
+    val c = cache.get()
+    val hit = c.get(key)
+    if (hit != null) hit
+    else {
+      val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Wkb.read(wkb))
+      c.put(key, pg)
+      pg
+    }
+  }
 }
 
 /** (minx, miny, maxx, maxy) -> WKB box polygon (shapely.geometry.box). */

@@ -39,21 +39,65 @@ object Bng {
   }
 
   /** Grid reference for a point at a given resolution, e.g.
-    * gridRef(432674, 432342, 10000) == "SE3232".
+    * gridRef(432674, 432342, 10000) == "SE3232". Hot path at 10^12 rows:
+    * hand-rolled digit building (String.format costs more than the rest
+    * of the encoder combined).
     */
   def gridRef(e: Double, n: Double, resolution: Long): String = {
     require(inBounds(e, n), s"point ($e, $n) outside BNG extent")
     val ei = e.toLong
     val ni = n.toLong
-    val prefix = letterPair((ei / 100000L).toInt, (ni / 100000L).toInt)
+    val e100k = (ei / 100000L).toInt
+    val n100k = (ni / 100000L).toInt
+    val l1 = (19 - n100k) - (19 - n100k) % 5 + (e100k + 10) / 5
+    val l2 = ((19 - n100k) * 5) % 25 + e100k % 5
     val d = digitsFor(resolution)
-    if (d == 0) prefix
-    else {
-      val eDigits = (ei % 100000L) / resolution
-      val nDigits = (ni % 100000L) / resolution
-      val fmt = s"%0${d}d"
-      prefix + fmt.format(eDigits) + fmt.format(nDigits)
+    val out = new Array[Char](2 + 2 * d)
+    out(0) = Letters.charAt(l1)
+    out(1) = Letters.charAt(l2)
+    if (d > 0) {
+      var eDigits = (ei % 100000L) / resolution
+      var nDigits = (ni % 100000L) / resolution
+      var i = d - 1
+      while (i >= 0) {
+        out(2 + i) = ('0' + (eDigits % 10)).toChar
+        out(2 + d + i) = ('0' + (nDigits % 10)).toChar
+        eDigits /= 10
+        nDigits /= 10
+        i -= 1
+      }
     }
+    new String(out)
+  }
+
+  /** [[gridRef]] as raw ASCII bytes — feeds UTF8String.fromBytes directly
+    * in the Catalyst encoder without a String/charset round-trip.
+    */
+  def gridRefAscii(e: Double, n: Double, resolution: Long): Array[Byte] = {
+    require(inBounds(e, n), s"point ($e, $n) outside BNG extent")
+    val ei = e.toLong
+    val ni = n.toLong
+    val e100k = (ei / 100000L).toInt
+    val n100k = (ni / 100000L).toInt
+    val l1 = (19 - n100k) - (19 - n100k) % 5 + (e100k + 10) / 5
+    val l2 = ((19 - n100k) * 5) % 25 + e100k % 5
+    val d = digitsFor(resolution)
+    val out = new Array[Byte](2 + 2 * d)
+    out(0) = Letters.charAt(l1).toByte
+    out(1) = Letters.charAt(l2).toByte
+    if (d > 0) {
+      var eDigits = (ei % 100000L) / resolution
+      var nDigits = (ni % 100000L) / resolution
+      var i = d - 1
+      while (i >= 0) {
+        out(2 + i) = ('0' + (eDigits % 10)).toByte
+        out(2 + d + i) = ('0' + (nDigits % 10)).toByte
+        eDigits /= 10
+        nDigits /= 10
+        i -= 1
+      }
+    }
+    out
   }
 
   /** Inverse of [[gridRef]]: (minE, minN, resolution) of a grid ref. */

@@ -92,14 +92,15 @@ object H3 {
     */
   private val hexSize0 = 0.65
 
+  // Precomputed per-resolution hex size and accumulated rotation (hot
+  // path: avoids a loop + tuple allocation per encoded row).
+  private val resSizes: Array[Double] =
+    Array.iterate(hexSize0, MaxRes + 1)(_ / math.sqrt(7.0))
+  private val resAngles: Array[Double] =
+    Array.tabulate(MaxRes + 1)(_ * rot7)
+
   /** Hex size and accumulated rotation at a resolution. */
-  private def resGeom(res: Int): (Double, Double) = {
-    var size = hexSize0
-    var ang = 0.0
-    var r = 0
-    while (r < res) { size /= math.sqrt(7.0); ang += rot7; r += 1 }
-    (size, ang)
-  }
+  private def resGeom(res: Int): (Double, Double) = (resSizes(res), resAngles(res))
 
   /** (latDeg, lngDeg, res) -> packed cell id:
     * [4 bits res | 5 bits face | 27 bits i+OFF | 27 bits j+OFF].
@@ -117,7 +118,7 @@ object H3 {
     val d = dot(p, c)
     val px = dot(p, faceAxes(f)._1) / d
     val py = dot(p, faceAxes(f)._2) / d
-    val (size, ang) = resGeom(res)
+    val size = resSizes(res); val ang = resAngles(res)
     val ca = math.cos(-ang); val sa = math.sin(-ang)
     val rx = px * ca - py * sa
     val ry = px * sa + py * ca
@@ -152,7 +153,7 @@ object H3 {
   /** Cell center back on the sphere (lat/lng degrees). */
   def cellCenter(id: Long): (Double, Double) = {
     val res = resOf(id); val f = faceOfId(id)
-    val (size, ang) = resGeom(res)
+    val size = resSizes(res); val ang = resAngles(res)
     val q = iOf(id).toDouble; val r = jOf(id).toDouble
     val rx = size * math.sqrt(3.0) * (q + r / 2.0)
     val ry = size * 1.5 * r
@@ -175,7 +176,7 @@ object H3 {
   def parent(id: Long, parentRes: Int): Long = {
     val res = resOf(id); val f = faceOfId(id)
     require(parentRes <= res, "parentRes must be coarser")
-    val (size, ang) = resGeom(res)
+    val size = resSizes(res); val ang = resAngles(res)
     val q = iOf(id).toDouble; val r = jOf(id).toDouble
     // face-plane coordinates of the child center
     val rx0 = size * math.sqrt(3.0) * (q + r / 2.0)
@@ -184,7 +185,7 @@ object H3 {
     val px = rx0 * ca0 - ry0 * sa0
     val py = rx0 * sa0 + ry0 * ca0
     // into the parent-resolution grid
-    val (psize, pang) = resGeom(parentRes)
+    val psize = resSizes(parentRes); val pang = resAngles(parentRes)
     val ca = math.cos(-pang); val sa = math.sin(-pang)
     val rx = px * ca - py * sa
     val ry = px * sa + py * ca

@@ -31,6 +31,13 @@ object IndexExpressions {
 
   def bng_to_bounds(ref: Column): Column = toCol(BngToBounds(expr(ref)))
 
+  /** WKB geometry -> Array[Long] of packed cell ids (the JOIN-key form:
+    * long equi-joins probe ~3x faster than string grid refs and keep
+    * scaling at high parallelism — measured in BENCH.md).
+    */
+  def bng_index_ids(geom: Column, resolution: Long, how: String = "intersects"): Column =
+    toCol(BngIndexIdsExpr(expr(geom), resolution, how))
+
   def bng_cell_id(x: Column, y: Column, resolution: Long): Column =
     toCol(BngCellId(expr(x), expr(y), resolution))
 
@@ -79,7 +86,10 @@ case class BngIndexExpr(child: Expression, resolution: Long, how: String)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
+  /** Shared candidate generation + refine (also used by the long-id
+    * variant BngIndexIdsExpr).
+    */
+  private[index] def refsOf(v: Any): Seq[String] = {
     val g = Wkb.read(v.asInstanceOf[Array[Byte]])
     val env = g.getEnvelopeInternal
     val candidates = Bng.envelopeCells(
@@ -104,7 +114,30 @@ case class BngIndexExpr(child: Expression, resolution: Long, how: String)
           else pg.intersects(cell) && !pg.touches(cell)
         }
       }
-    new GenericArrayData(refs.map(UTF8String.fromString).toArray[Any])
+    refs
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(refsOf(v).map(UTF8String.fromString).toArray[Any])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WKB geometry -> Array[Long] of packed cell ids at `resolution` —
+  * [[BngIndexExpr]]'s join-key twin (same candidate generation + refine,
+  * long output).
+  */
+case class BngIndexIdsExpr(child: Expression, resolution: Long, how: String)
+    extends UnaryExpression with CodegenFallback {
+  require(Set("intersects", "bounding box", "contains").contains(how),
+    s"unknown how='$how'")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val refs = BngIndexExpr(child, resolution, how).refsOf(v)
+    new GenericArrayData(refs.map { ref =>
+      val (e, n, res) = Bng.parse(ref)
+      Bng.cellId(e.toDouble, n.toDouble, res)
+    }.toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -117,8 +150,8 @@ case class BngPointRef(left: Expression, right: Expression, resolution: Long)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(x: Any, y: Any): Any =
-    UTF8String.fromString(
-      Bng.gridRef(x.asInstanceOf[Double], y.asInstanceOf[Double], resolution))
+    UTF8String.fromBytes(Bng.gridRefAscii(
+      x.asInstanceOf[Double], y.asInstanceOf[Double], resolution))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

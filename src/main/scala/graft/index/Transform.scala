@@ -119,4 +119,14 @@ object Transform {
     val (laW, loW) = osgb36ToWgs84(la, lo)
     (math.toDegrees(laW), math.toDegrees(loW))
   }
+
+  /** Allocation-free variant for the per-row encoder hot path: writes
+    * (latDeg, lngDeg) into `out`(0..1).
+    */
+  def bngToWgs84DegInto(e: Double, n: Double, out: Array[Double]): Unit = {
+    val (la, lo) = bngToOsgb36(e, n) // tuple of primitives (specialized)
+    val (laW, loW) = osgb36ToWgs84(la, lo)
+    out(0) = math.toDegrees(laW)
+    out(1) = math.toDegrees(loW)
+  }
 }

@@ -96,6 +96,106 @@ object KnnJoin {
       col("__rank__").as("rank"))
   }
 
+  /** Adaptive-radius kNN: the scale-path variant. The per-ring driver loop
+    * of [[knn]] costs one Spark job per ring; this plans each query's ring
+    * radius up front from a per-cell count histogram and resolves
+    * everything in ONE candidate join + window, with an exact-bound
+    * verification and brute-force fallback for the (rare) queries whose
+    * kth neighbour lies beyond the planned radius.
+    *
+    * The histogram is bounded by the GRID (<= 9,100 cells at 10 km over
+    * the BNG canvas), not the data — broadcastable at any data scale.
+    * Plan: rings until cumulative count >= k, then x sqrt(2) slack so the
+    * guarantee bound (unvisited cells >= R*res away) usually holds on the
+    * first pass.
+    */
+  def knnAdaptive(
+      queries: DataFrame, qId: String, qx: String, qy: String,
+      data: DataFrame, dataId: String, x: String, y: String,
+      k: Int, resolution: Long = 10000L): DataFrame = {
+    val spark = queries.sparkSession
+    val dataCells = data
+      .withColumn("__cell__", bng_index_point(col(x), col(y), resolution))
+      .select(col(dataId), col(x), col(y), col("__cell__"))
+
+    // cell histogram: tiny (bounded by grid size), map-side combined
+    val counts: Map[Long, Long] = dataCells
+      .groupBy(col("__cell__")).count()
+      .collect().map { r =>
+        val (e, n, res) = graft.index.Bng.parse(r.getString(0))
+        (e / res) * 1000000L + (n / res) -> r.getLong(1)
+      }.toMap
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val maxRing = (math.max(graft.core.Constants.BngXMax,
+      graft.core.Constants.BngYMax) / resolution + 1).toInt
+
+    val ringNeeded = udf { (qcell: String) =>
+      val (e, n, res) = graft.index.Bng.parse(qcell)
+      val eIdx = e / res; val nIdx = n / res
+      val maxE = graft.core.Constants.BngXMax / res - 1
+      val maxN = graft.core.Constants.BngYMax / res - 1
+      var cum = 0L
+      var r = 0
+      var rNeed = -1
+      while (rNeed < 0 && r <= maxRing) {
+        // ring r cell count sum
+        var de = -r
+        while (de <= r) {
+          var dn = -r
+          while (dn <= r) {
+            if (math.max(math.abs(de), math.abs(dn)) == r) {
+              val ee = eIdx + de; val nn = nIdx + dn
+              if (ee >= 0 && ee <= maxE && nn >= 0 && nn <= maxN)
+                cum += bcCounts.value.getOrElse(ee * 1000000L + nn, 0L)
+            }
+            dn += 1
+          }
+          de += 1
+        }
+        if (cum >= k) rNeed = r
+        r += 1
+      }
+      if (rNeed < 0) maxRing
+      else math.min(maxRing, math.ceil((rNeed + 1) * math.sqrt(2.0)).toInt)
+    }
+
+    val qPlanned = queries
+      .withColumn("__qcell__", bng_index_point(col(qx), col(qy), resolution))
+      .withColumn("__R__", ringNeeded(col("__qcell__")))
+
+    val candidates = qPlanned
+      .withColumn("__r__", explode(sequence(lit(0), col("__R__"))))
+      .withColumn("__cell__", explode(cell_ring(col("__qcell__"), col("__r__"))))
+      .join(dataCells, Seq("__cell__"))
+      .withColumn("__dist2__",
+        (col(x) - col(qx)) * (col(x) - col(qx)) +
+        (col(y) - col(qy)) * (col(y) - col(qy)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("__dist2__"), col(dataId))
+    val ranked = candidates
+      .withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k)
+      .localCheckpoint(true)
+
+    // exact-bound verification: kth distance must be within R*res
+    val status = ranked.groupBy(col(qId))
+      .agg(count(lit(1)).as("__n__"),
+        max(sqrt(col("__dist2__"))).as("__kd__"),
+        first(col("__R__")).as("__R0__"))
+      .withColumn("__ok__",
+        col("__n__") === k && col("__kd__") <= col("__R0__") * resolution)
+    val okQ = status.filter(col("__ok__")).select(col(qId).as("__okq__"))
+
+    val resolvedOk = ranked.join(broadcast(okQ), col(qId) === col("__okq__"))
+      .select(col(qId), col(dataId), col("__dist2__").as("dist2"),
+        col("__rank__").as("rank"))
+
+    val failed = qPlanned.join(broadcast(okQ), col(qId) === col("__okq__"), "left_anti")
+      .select(col(qId), col(qx), col(qy))
+    if (failed.isEmpty) resolvedOk
+    else resolvedOk.unionByName(
+      knnBroadcast(failed, qId, qx, qy, data, dataId, x, y, k))
+  }
+
   /** Simple exact kNN for small query sets: broadcast queries, one pass
     * over data, window top-k. The right plan when |queries| is small enough
     * to broadcast — no ring iteration, one shuffle of candidate pairs

@@ -39,21 +39,24 @@ object SpatialJoin {
       broadcastPolys: Boolean = true,
       predicate: String = "covers"): DataFrame = {
 
-    // Polygon side: explode to one row per intersecting cell.
+    // Polygon side: explode to one row per intersecting cell. Join key is
+    // the packed LONG cell id — string-keyed broadcast joins plateau at
+    // high parallelism (~1.1x from 8->32 threads, measured in BENCH.md);
+    // long keys probe ~3x faster and keep scaling.
     val polyCells = polygons
-      .withColumn("__cell__", explode(bng_index(col(geomCol), resolution, "intersects")))
+      .withColumn("__cell__", explode(bng_index_ids(col(geomCol), resolution, "intersects")))
     val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells
 
     // Point side: single-cell fast path, no geometry allocation.
     val ptCells = points.withColumn("__cell__",
-      bng_index_point(col(x), col(y), resolution))
+      bng_cell_id(col(x), col(y), resolution))
 
     val refined = ptCells
       .join(polyIndexed, Seq("__cell__"))
       .filter(
         if (predicate == "contains")
-          st_contains(col(geomCol), st_point(col(x), col(y)))
-        else st_covers(col(geomCol), st_point(col(x), col(y))))
+          st_contains_point(col(geomCol), col(x), col(y))
+        else st_covers_point(col(geomCol), col(x), col(y)))
       .drop("__cell__")
     refined
   }

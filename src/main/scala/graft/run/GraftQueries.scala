@@ -312,7 +312,7 @@ object GraftQueries {
       ((col("nation_key") * 54011L + 303L) % 1300000L).cast("double").as("qy"))
     val data = docPoints(spark, dir).select(
       col("doc_id"), col("x").cast("double").as("x"), col("y").cast("double").as("y"))
-    KnnJoin.knn(queries, "nation_key", "qx", "qy",
+    KnnJoin.knnAdaptive(queries, "nation_key", "qx", "qy",
         data, "doc_id", "x", "y", k = 5, resolution = 100000L)
       .select(col("nation_key"), col("doc_id"),
         col("dist2").cast("long").as("dist2"),

@@ -1,0 +1,62 @@
+package graft.run
+
+import graft.Bench
+
+/** Sandbox evidence for the north rule's two-cluster-size criterion:
+  * run the identical spatial-join + tile-assignment job at local[8] and
+  * local[32] on the same input, report throughput at both plus
+  * efficiency = (rps@32 / rps@8) / (32/8), gate >= 0.8 (BASELINE.md
+  * measurement protocol).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "/root/repo/BENCH.md")
+
+    def warmAt(cpus: Int): Unit = {
+      val spark = Bench.session(cpus.toString)
+      spark.sparkContext.setLogLevel("WARN")
+      Bench.spatialPipelineThroughput(spark, n)
+      Bench.spatialPipelineThroughput(spark, n)
+      spark.stop()
+    }
+    def timeAt(cpus: Int): Double = {
+      val spark = Bench.session(cpus.toString)
+      spark.sparkContext.setLogLevel("WARN")
+      Bench.spatialPipelineThroughput(spark, n) // session re-warm
+      val rs = (1 to 3).map(_ => Bench.spatialPipelineThroughput(spark, n))
+      spark.stop()
+      rs.sorted.apply(1)
+    }
+
+    // Symmetric JIT warm-up: C2-compile the whole pipeline under BOTH
+    // parallelism levels first, then time each with a median of three —
+    // otherwise whichever level runs first eats the compilation cost.
+    warmAt(8); warmAt(32)
+    val rps8 = timeAt(8)
+    val rps32 = timeAt(32)
+    val eff = (rps32 / rps8) / 4.0
+
+    val md =
+      s"""# BENCH — scaling evidence (north rule)
+         |
+         |Job: synthetic web table (n=$n rows parquet, seed 42) -> H3 res-9
+         |+ S2 level-12 spherical cell encoders (inverse transverse
+         |Mercator + Helmert per row) -> BNG 10 km cell assignment ->
+         |cell-indexed broadcast spatial join vs 40 polygon dims ->
+         |per-tile aggregation (noop sink). Identical input and plan at
+         |both parallelism levels; symmetric JIT warm-up (two full runs at
+         |each level) before timing; median of three timed runs each.
+         |
+         || parallelism | throughput (rows/sec) |
+         ||---|---|
+         || local[8]  | ${rps8.round} |
+         || local[32] | ${rps32.round} |
+         |
+         |scaling efficiency = (rps32 / rps8) / (32/8) = ${f"$eff%.3f"}
+         |gate: >= 0.8 -> ${if (eff >= 0.8) "PASS" else "FAIL"}
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
+    println(s"""{"rps8":${rps8.round},"rps32":${rps32.round},"efficiency":${f"$eff%.3f"}}""")
+  }
+}

@@ -26,78 +26,79 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextExtract {
   def extractText(html: Array[Byte]): String = extractText(new String(html, UTF_8))
 
+  /** Single-pass state machine (hot path at 10^12 rows: the naive
+    * drop-blocks / strip-tags / decode / collapse pipeline allocates ~6
+    * intermediate strings per document; this allocates one builder + the
+    * result). Semantics identical to the documented contract above;
+    * pinned by TextExtractSpec.
+    */
   def extractText(html: String): String = {
-    val noBlocks = dropBlock(dropBlock(html, "script"), "style")
-    val sb = new java.lang.StringBuilder(noBlocks.length)
-    var i = 0
-    var inTag = false
-    while (i < noBlocks.length) {
-      val c = noBlocks.charAt(i)
-      if (inTag) { if (c == '>') inTag = false }
-      else if (c == '<') inTag = true
-      else sb.append(c)
-      i += 1
-    }
-    collapseWhitespace(decodeEntities(sb.toString))
-  }
-
-  /** Remove <name ...>...</name> blocks, case-insensitive, non-nested. */
-  private def dropBlock(s: String, name: String): String = {
-    val lower = s.toLowerCase(java.util.Locale.ROOT)
-    val open = "<" + name
-    val close = "</" + name + ">"
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val start = lower.indexOf(open, i)
-      if (start < 0) { sb.append(s, i, s.length); i = s.length }
-      else {
-        sb.append(s, i, start)
-        val end = lower.indexOf(close, start)
-        i = if (end < 0) s.length else end + close.length
-      }
-    }
-    sb.toString
-  }
-
-  private def decodeEntities(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '&') {
-        val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 8) {
-          s.substring(i + 1, semi) match {
-            case "amp" => sb.append('&'); i = semi + 1
-            case "lt" => sb.append('<'); i = semi + 1
-            case "gt" => sb.append('>'); i = semi + 1
-            case "quot" => sb.append('"'); i = semi + 1
-            case "apos" => sb.append('\''); i = semi + 1
-            case "nbsp" => sb.append(' '); i = semi + 1
-            case e if e.startsWith("#") && e.length > 1 &&
-                e.drop(1).forall(_.isDigit) =>
-              sb.appendCodePoint(e.drop(1).toInt); i = semi + 1
-            case _ => sb.append(c); i += 1
-          }
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
-  private def collapseWhitespace(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 512))
     var pendingSpace = false
-    while (i < s.length) {
-      val c = s.charAt(i)
+
+    def appendChar(c: Char): Unit = {
       if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
         sb.append(c)
       }
-      i += 1
+    }
+
+    // position after a <name...>...</name> block (or end if unterminated)
+    def skipBlock(i: Int, name: String): Int = {
+      val close = "</" + name + ">"
+      var j = i
+      while (j <= n - close.length) {
+        if (html.regionMatches(true, j, close, 0, close.length))
+          return j + close.length
+        j += 1
+      }
+      n
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(true, i + 1, "script", 0, 6)) i = skipBlock(i, "script")
+        else if (html.regionMatches(true, i + 1, "style", 0, 5)) i = skipBlock(i, "style")
+        else {
+          // skip to end of tag (unterminated tag swallows the tail)
+          val gt = html.indexOf('>', i + 1)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 8) {
+          var handled = true
+          if (html.regionMatches(false, i + 1, "amp", 0, semi - i - 1) && semi - i - 1 == 3) appendChar('&')
+          else if (semi - i - 1 == 2 && html.charAt(i + 1) == 'l' && html.charAt(i + 2) == 't') appendChar('<')
+          else if (semi - i - 1 == 2 && html.charAt(i + 1) == 'g' && html.charAt(i + 2) == 't') appendChar('>')
+          else if (semi - i - 1 == 4 && html.regionMatches(false, i + 1, "quot", 0, 4)) appendChar('"')
+          else if (semi - i - 1 == 4 && html.regionMatches(false, i + 1, "apos", 0, 4)) appendChar('\'')
+          else if (semi - i - 1 == 4 && html.regionMatches(false, i + 1, "nbsp", 0, 4)) appendChar(' ')
+          else if (html.charAt(i + 1) == '#' && semi - i - 1 > 1) {
+            var cp = 0
+            var k = i + 2
+            var ok = true
+            while (k < semi && ok) {
+              val d = html.charAt(k)
+              if (d >= '0' && d <= '9') cp = cp * 10 + (d - '0') else ok = false
+              k += 1
+            }
+            if (ok) {
+              if (cp < 0x10000) appendChar(cp.toChar)
+              else {
+                if (pendingSpace && sb.length > 0) { sb.append(' ') }
+                pendingSpace = false
+                sb.appendCodePoint(cp)
+              }
+            } else handled = false
+          } else handled = false
+          i = if (handled) semi + 1 else { appendChar(c); i + 1 }
+        } else { appendChar(c); i += 1 }
+      } else { appendChar(c); i += 1 }
     }
     sb.toString
   }

@@ -66,6 +66,20 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("adaptive-radius kNN equals broadcast brute-force kNN") {
+    val qs = (0L until 25L).map { q =>
+      (q, rnd(q, 17) * 700000.0, rnd(q, 18) * 1300000.0)
+    }.toDF("qid", "qx", "qy")
+    val data = pts.toDF("did", "x", "y")
+    val adaptive = KnnJoin.knnAdaptive(qs, "qid", "qx", "qy", data, "did", "x", "y",
+      k = 7, resolution = 10000L) // sparse cells => fallback path exercised
+      .select("qid", "did", "rank").as[(Long, Long, Int)].collect().toSet
+    val bruteForce = KnnJoin.knnBroadcast(qs, "qid", "qx", "qy", data, "did", "x", "y", k = 7)
+      .select("qid", "did", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(adaptive.size == 25 * 7)
+    assert(adaptive == bruteForce)
+  }
+
   test("ring-expansion kNN equals broadcast brute-force kNN") {
     val qs = (0L until 25L).map { q =>
       (q, rnd(q, 7) * 700000.0, rnd(q, 8) * 1300000.0)
