@@ -51,7 +51,8 @@ object SparkEntry {
     "q28_multimodal_decode" -> (GraftQueries.q28Multimodal _),
     "q29_stream_hourly" -> (GraftQueries.q29StreamHourly _),
     "q30_cell_encoders" -> (GraftQueries.q30CellEncoders _),
-    "q31_raster_store" -> (GraftQueries.q31RasterStore _)
+    "q31_raster_store" -> (GraftQueries.q31RasterStore _),
+    "q32_sessionize" -> (GraftQueries.q32Sessionize _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -80,7 +81,8 @@ object SparkEntry {
     "q27_tokens" -> GraftQueries.q27Sql,
     "q28_multimodal_decode" -> GraftQueries.q28Sql,
     "q29_stream_hourly" -> GraftQueries.q29Sql,
-    "q31_raster_store" -> GraftQueries.q31Sql
+    "q31_raster_store" -> GraftQueries.q31Sql,
+    "q32_sessionize" -> GraftQueries.q32Sql
     // q20-q26: LSH/float-cosine internals are not SQL-expressible —
     // driver records rows-only; exactness is pinned in ScalaTest against
     // brute-force oracles instead.

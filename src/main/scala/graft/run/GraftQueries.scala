@@ -625,4 +625,27 @@ object GraftQueries {
       |       COUNT(DISTINCT ce * 1000 + cn) AS burned_cells,
       |       COUNT(*) AS n_rows
       |FROM c GROUP BY 1""".stripMargin
+
+  /** Gap-based sessionization (30 min) — the stateful-operator surface;
+    * batch path here (single shuffle on user + window), streaming
+    * flatMapGroupsWithState equivalence pinned in MultimodalStreamSpec.
+    */
+  def q32Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessionizeBatch(t(spark, dir, "events"), 30)
+
+  val q32Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
 }

@@ -30,6 +30,16 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got(1)._3.toSeq == bytes.slice(64, 80).toSeq)
   }
 
+  test("stateful streaming sessionization equals batch sessionization") {
+    val batch = graft.streaming.Sessionize.sessionizeBatch(
+      spark.read.parquet(s"$sf0/events.parquet"), 30)
+    val streamed = graft.streaming.Sessionize.sessionizeStream(
+      spark, s"$sf0/events.parquet", 30, s"t_sess_${System.nanoTime()}")
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+    assertSameRows(streamed, batch)
+  }
+
   test("streaming hourly agg (AvailableNow) equals batch aggregation") {
     val batch = spark.read.parquet(s"$sf0/events.parquet")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
