@@ -39,7 +39,8 @@ object RasterPipeline {
       tileSize: Double = Constants.TileSize10k.toDouble,
       canvasMaxX: Double = Constants.BngXMax.toDouble,
       canvasMaxY: Double = Constants.BngYMax.toDouble,
-      overwrite: Boolean = false): DataFrame = {
+      overwrite: Boolean = false,
+      resume: Boolean = false): DataFrame = {
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -72,21 +73,31 @@ object RasterPipeline {
         }
       }
 
-    // 3. skeleton (driver)
+    // 3. skeleton (driver); on resume, keep the existing store and skip
+    //    tiles whose every column region already landed (idempotent
+    //    region files make replaying an interrupted run safe).
     val store = new TileStore(path)
-    store.init(StoreHeader("EPSG:27700", cellSize, 0d, 0d, canvasMaxX,
-      canvasMaxY, tileSize, specs,
-      Map("engine" -> "graft", "maskMode" -> maskMode.toString)), overwrite)
+    val doneTiles: Set[String] =
+      if (resume && store.exists)
+        store.completeTiles(specs.map(_.name)).toSet
+      else {
+        store.init(StoreHeader("EPSG:27700", cellSize, 0d, 0d, canvasMaxX,
+          canvasMaxY, tileSize, specs,
+          Map("engine" -> "graft", "maskMode" -> maskMode.toString)), overwrite)
+        Set.empty
+      }
 
     // 4. shuffle by tile + rasterize + region write
     val tileCells = math.round(tileSize / cellSize).toInt
     val valueCols =
       if (maskMode) Seq(lit(1.0))
       else specs.map(s => coalesce(col(s.name).cast("double"), lit(s.nodata)))
-    val prepared = df.select(
+    val preparedAll = df.select(
         explode(bng_index(col(geometryCol), tileSize.toLong, "intersects")).as("__tile"),
         col(geometryCol).as("__geom"),
         array(valueCols: _*).as("__vals"))
+    val prepared = (if (doneTiles.isEmpty) preparedAll
+      else preparedAll.filter(!col("__tile").isInCollection(doneTiles)))
       .as[(String, Array[Byte], Seq[Double])]
 
     val specNames = specs.map(_.name)
@@ -123,6 +134,85 @@ object RasterPipeline {
     // Sinks execute eagerly (the reference forces the grouped-map with a
     // noop sink, dataframe.py:540-543). localCheckpoint also cuts lineage
     // so downstream reuse never re-runs the side-effecting writes.
+    metrics.localCheckpoint(true)
+  }
+
+  /** Salted point rasterization for skewed tiles (north rule: "skew
+    * handled by salted repartitioning on hot cells").
+    *
+    * A hot tile (dense urban cell at web scale) would make one task burn
+    * orders of magnitude more rows than the median. Here hot tiles fan
+    * out over `ceil(count/targetRowsPerTask)` salted tasks, each burning
+    * a PARTIAL grid that tracks, per cell, the burn value AND the highest
+    * `orderCol` that wrote it; the per-tile merge keeps the value with
+    * the highest order — bit-identical to the unsalted last-write-wins-
+    * by-order result (property-tested in RasterStoreSpec).
+    */
+  def toTileStoreSaltedPoints(
+      df: DataFrame, xCol: String, yCol: String, orderCol: String,
+      valueCol: String, path: String,
+      cellSize: Double, tileSize: Double,
+      targetRowsPerTask: Long,
+      canvasMaxX: Double = Constants.BngXMax.toDouble,
+      canvasMaxY: Double = Constants.BngYMax.toDouble,
+      overwrite: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val row = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    val (dtype, nodata) = Constants.dtypeAndNodata(row.getDouble(0), row.getDouble(1))
+    val spec = ColumnSpec(valueCol, dtype, nodata)
+    val store = new TileStore(path)
+    store.init(StoreHeader("EPSG:27700", cellSize, 0d, 0d, canvasMaxX,
+      canvasMaxY, tileSize, Seq(spec), Map("salted" -> "true")), overwrite)
+
+    val tileCells = math.round(tileSize / cellSize).toInt
+    val pts = df.select(
+      graft.index.IndexExpressions.bng_index_point(
+        col(xCol).cast("double"), col(yCol).cast("double"), tileSize.toLong).as("__tile"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"),
+      col(orderCol).cast("long").as("__ord"), col(valueCol).cast("double").as("__v"))
+
+    val salted = graft.ops.Salting.withSalt(pts, "__tile", "__ord", targetRowsPerTask)
+      .as[(String, Double, Double, Long, Double, Int)]
+
+    // phase 1: burn partial (value, order) grids per (tile, salt)
+    val partials = salted
+      .groupByKey { case (tile, _, _, _, _, salt) => (tile, salt) }
+      .mapGroups { (key: (String, Int), rows: Iterator[(String, Double, Double, Long, Double, Int)]) =>
+        val tile = key._1
+        val (minx, miny, _, _) = graft.index.Bng.bounds(tile)
+        val grid = Rasterize.empty(minx, miny, cellSize, tileCells, fill = nodata)
+        val ord = Array.fill(tileCells * tileCells)(Long.MinValue)
+        rows.foreach { case (_, x, y, o, v, _) =>
+          val c = grid.colOf(x); val r = grid.rowOf(y)
+          if (c >= 0 && r >= 0) {
+            val idx = grid.idx(r, c)
+            if (o > ord(idx)) { ord(idx) = o; grid.data(idx) = v }
+          }
+        }
+        (tile, grid.data.toSeq, ord.toSeq)
+      }
+
+    // phase 2: merge partials per tile by order, write region
+    val metrics = partials
+      .groupByKey(_._1)
+      .mapGroups { (tile: String, parts: Iterator[(String, Seq[Double], Seq[Long])]) =>
+        val data = Array.fill(tileCells * tileCells)(nodata)
+        val ord = Array.fill(tileCells * tileCells)(Long.MinValue)
+        parts.foreach { case (_, pd, po) =>
+          var i = 0
+          while (i < data.length) {
+            if (po(i) > ord(i)) { ord(i) = po(i); data(i) = pd(i) }
+            i += 1
+          }
+        }
+        new TileStore(path).writeRegion(tile, valueCol, dtype, data)
+        val burned = data.count(d => !(d == nodata || (d.isNaN && nodata.isNaN))).toLong
+        (tile, valueCol, burned)
+      }
+      .toDF("tile", "column", "burned_cells")
     metrics.localCheckpoint(true)
   }
 

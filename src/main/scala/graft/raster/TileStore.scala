@@ -125,6 +125,16 @@ class TileStore(val path: String) {
     }
   }
 
+  /** Tiles whose every listed column region is already written — the
+    * resume set (tile writes are atomic + idempotent, so anything not
+    * complete is simply redone).
+    */
+  def completeTiles(columns: Seq[String]): Seq[String] =
+    tiles().filter { ref =>
+      columns.forall(c =>
+        Files.exists(Paths.get(path, s"tile=$ref", s"$c.bin")))
+    }
+
   /** Assemble the full canvas for a column — nodata-filled where tiles
     * were never written (the skeleton semantics). Test/analysis helper;
     * row 0 = canvas top.

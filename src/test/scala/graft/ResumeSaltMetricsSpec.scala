@@ -1,0 +1,93 @@
+package graft
+
+import graft.geo.Wkb
+import graft.raster.{RasterPipeline, TileStore}
+import org.apache.spark.sql.functions._
+
+class ResumeSaltMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rasterize resume: completed tiles are skipped, canvas unchanged") {
+    val rows = (0 until 20).map { i =>
+      val cx = (i % 5) * 100000.0 + 50000.0
+      val cy = (i / 5) * 100000.0 + 50000.0
+      (i.toLong, Wkb.write(Wkb.box(cx - 10000, cy - 10000, cx + 10000, cy + 10000)))
+    }
+    val df = rows.toDF("v", "geometry")
+    val path = java.nio.file.Files.createTempDirectory("resume").toString
+    val m1 = RasterPipeline.toTileStore(df, "geometry", Seq("v"), path,
+      cellSize = 10000, tileSize = 100000, overwrite = true)
+    val canvas1 = new TileStore(path).assembleCanvas("v").flatten.toSeq
+    assert(m1.count() == 20)
+    // resume: everything complete -> zero tiles re-burned
+    val m2 = RasterPipeline.toTileStore(df, "geometry", Seq("v"), path,
+      cellSize = 10000, tileSize = 100000, resume = true)
+    assert(m2.count() == 0)
+    assert(new TileStore(path).assembleCanvas("v").flatten.toSeq == canvas1)
+    // partial store: delete one tile's file -> only that tile re-burned
+    val victim = new TileStore(path).tiles().head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, s"tile=$victim", "v.bin"))
+    val m3 = RasterPipeline.toTileStore(df, "geometry", Seq("v"), path,
+      cellSize = 10000, tileSize = 100000, resume = true)
+    assert(m3.select("tile").as[String].collect().toSeq == Seq(victim))
+    assert(new TileStore(path).assembleCanvas("v").flatten.toSeq == canvas1)
+  }
+
+  test("salted point rasterization == unsalted (bit-identical, skewed input)") {
+    // 5000 points, 90% in one hot 10km tile, values + order deterministic
+    val pts = (0 until 5000).map { i =>
+      val h = graft.input.WebTable.splitmix64(i.toLong * 31L)
+      val hot = i % 10 != 0
+      val x = if (hot) 530000.0 + java.lang.Long.remainderUnsigned(h, 10000L)
+        else java.lang.Long.remainderUnsigned(h, 700000L).toDouble
+      val y = if (hot) 180000.0 + java.lang.Long.remainderUnsigned(h >>> 13, 10000L)
+        else java.lang.Long.remainderUnsigned(h >>> 7, 1300000L).toDouble
+      (i.toLong, x, y, (i % 7).toLong)
+    }
+    val df = pts.toDF("ord", "x", "y", "v")
+
+    val saltedPath = java.nio.file.Files.createTempDirectory("salted").toString
+    RasterPipeline.toTileStoreSaltedPoints(df, "x", "y", "ord", "v", saltedPath,
+      cellSize = 100, tileSize = 10000, targetRowsPerTask = 200, overwrite = true)
+
+    // unsalted oracle: single-threaded burn ordered by ord
+    val unsalted = new scala.collection.mutable.HashMap[(String, Int), Double]()
+    pts.sortBy(_._1).foreach { case (_, x, y, v) =>
+      val tile = graft.index.Bng.gridRef(x, y, 10000L)
+      val (minx, miny, _, _) = graft.index.Bng.bounds(tile)
+      val c = ((x - minx) / 100).toInt
+      val r = 99 - ((y - miny) / 100).toInt
+      unsalted((tile, r * 100 + c)) = v.toDouble
+    }
+    val store = new TileStore(saltedPath)
+    val nodata = store.header.columns.head.nodata
+    val dtype = store.header.columns.head.dtype
+    store.tiles().foreach { tile =>
+      val data = store.readRegion(tile, "v", dtype)
+      data.zipWithIndex.foreach { case (got, idx) =>
+        val expected = unsalted.getOrElse((tile, idx), nodata)
+        assert(got == expected, s"tile $tile cell $idx")
+      }
+    }
+    // every burned cell accounted for
+    val burnedCells = store.tiles().map(t =>
+      store.readRegion(t, "v", dtype).count(_ != nodata)).sum
+    assert(burnedCells == unsalted.keys.size)
+  }
+
+  test("observe metrics ride the job (no extra scan) and are captured") {
+    graft.run.Metrics.register(spark)
+    graft.run.Metrics.captured.clear()
+    val df = graft.run.Metrics.observeStage(
+      spark.read.parquet(s"$sf0/documents.parquet"), "ingest_docs", "text")
+    df.write.format("noop").mode("overwrite").save()
+    // listener fires asynchronously — wait briefly
+    var tries = 0
+    while (!graft.run.Metrics.captured.contains("ingest_docs") && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    val m = graft.run.Metrics.captured("ingest_docs")
+    assert(m("rows") == 500L)
+    assert(m("bytes").asInstanceOf[Long] > 10000L)
+  }
+}
