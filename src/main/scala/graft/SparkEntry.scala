@@ -52,7 +52,8 @@ object SparkEntry {
     "q29_stream_hourly" -> (GraftQueries.q29StreamHourly _),
     "q30_cell_encoders" -> (GraftQueries.q30CellEncoders _),
     "q31_raster_store" -> (GraftQueries.q31RasterStore _),
-    "q32_sessionize" -> (GraftQueries.q32Sessionize _)
+    "q32_sessionize" -> (GraftQueries.q32Sessionize _),
+    "q33_salted_agg" -> (GraftQueries.q33SaltedAgg _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -82,7 +83,8 @@ object SparkEntry {
     "q28_multimodal_decode" -> GraftQueries.q28Sql,
     "q29_stream_hourly" -> GraftQueries.q29Sql,
     "q31_raster_store" -> GraftQueries.q31Sql,
-    "q32_sessionize" -> GraftQueries.q32Sql
+    "q32_sessionize" -> GraftQueries.q32Sql,
+    "q33_salted_agg" -> GraftQueries.q33Sql
     // q20-q26: LSH/float-cosine internals are not SQL-expressible —
     // driver records rows-only; exactness is pinned in ScalaTest against
     // brute-force oracles instead.

@@ -72,9 +72,9 @@ object SpatialJoin {
       predicate: String = "intersects",
       broadcastRight: Boolean = false): DataFrame = {
     val l = left.withColumn("__cell__",
-      explode(bng_index(col(leftGeom), resolution, "intersects")))
+      explode(bng_index_ids(col(leftGeom), resolution, "intersects")))
     val r0 = right.withColumn("__cell__",
-      explode(bng_index(col(rightGeom), resolution, "intersects")))
+      explode(bng_index_ids(col(rightGeom), resolution, "intersects")))
     val r = if (broadcastRight) broadcast(r0) else r0
     val pred = predicate match {
       case "contains"   => st_contains(col(leftGeom), col(rightGeom))

@@ -633,6 +633,32 @@ object GraftQueries {
   def q32Sessionize(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.sessionizeBatch(t(spark, dir, "events"), 30)
 
+  /** Salted two-phase aggregation through the skew machinery (hot-cell
+    * pre-pass + salt fan-out + re-merge) — result must equal a plain
+    * GROUP BY, which is exactly what the oracle runs.
+    */
+  def q33SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir)
+      .withColumn("bng10",
+        bng_index_point(col("x").cast("double"), col("y").cast("double"), 10000L))
+    graft.ops.Salting.saltedCount(pts, "bng10", "doc_id", targetRowsPerTask = 50)
+  }
+
+  val q33Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |c AS (
+      |  SELECT CAST(FLOOR(x / 100000) AS BIGINT) AS e1,
+      |         CAST(FLOOR(y / 100000) AS BIGINT) AS n1, x, y
+      |  FROM pts)
+      |SELECT substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST((19 - n1) - ((19 - n1) % 5) + FLOOR((e1 + 10) / 5) AS INT) + 1, 1)
+      |       || substr('ABCDEFGHJKLMNOPQRSTUVWXYZ',
+      |         CAST(((19 - n1) * 5) % 25 + (e1 % 5) AS INT) + 1, 1)
+      |       || CAST(CAST(FLOOR((x % 100000) / 10000) AS INT) AS VARCHAR)
+      |       || CAST(CAST(FLOOR((y % 100000) / 10000) AS INT) AS VARCHAR) AS bng10,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM c GROUP BY 1""".stripMargin
+
   val q32Sql: String =
     """WITH d AS (
       |  SELECT user_id, ts, value,

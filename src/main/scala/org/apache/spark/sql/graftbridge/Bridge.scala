@@ -13,4 +13,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a session-level SQL function backed by a Catalyst
+    * expression builder (sessionState is private[sql]).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+
+  /** Inject a function through SparkSessionExtensions (plugin path). */
+  def injectFunction(e: org.apache.spark.sql.SparkSessionExtensions,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft", name),
+      (es: Seq[Expression]) => builder(es)))
 }

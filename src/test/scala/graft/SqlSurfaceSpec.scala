@@ -1,0 +1,44 @@
+package graft
+
+/** The pure-SQL surface: every engine kernel callable from spark.sql(). */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the engine kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT bng_index_point(530000.0D, 180000.0D, 10000) AS ref,
+        |       bng_cell_id(530000.0D, 180000.0D, 10000) AS cid,
+        |       st_astext(st_point(1.0D, 2.0D)) AS wkt,
+        |       token_count('hello world 42!') AS toks,
+        |       lang_id('the quick brown fox is in the garden and it is raining') AS lang,
+        |       simhash64('a b c') AS sh,
+        |       h3_index_point(530000.0D, 180000.0D, 9) AS h3,
+        |       s2_index_point(530000.0D, 180000.0D, 12) AS s2
+        |""".stripMargin).head()
+    assert(r.getString(0) == "TQ38")
+    assert(r.getLong(1) == graft.index.Bng.cellId(530000, 180000, 10000))
+    assert(r.getString(2) == "POINT (1 2)")
+    assert(r.getLong(3) == 4)
+    assert(r.getString(4) == "en")
+    assert(graft.index.H3.resOf(r.getLong(6)) == 9)
+    assert(graft.index.S2.level(r.getLong(7)) == 12)
+  }
+
+  test("SQL spatial predicate + cell explode compose in a query") {
+    GraftFunctions.register(spark)
+    spark.sql(
+      """SELECT explode(bng_index(st_geomfromtext('POLYGON ((395000 395000, 415000 395000, 415000 405000, 395000 405000, 395000 395000))'), 10000, 'intersects')) AS cell"""
+    ).createOrReplaceTempView("cells")
+    assert(spark.table("cells").count() == 6)
+    val hit = spark.sql(
+      """SELECT st_covers_point(
+        |  st_geomfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |  5.0D, 5.0D) AS ok""".stripMargin).head().getBoolean(0)
+    assert(hit)
+  }
+
+  test("extensions plugin installs without error") {
+    val ext = new GraftExtensions
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
