@@ -64,6 +64,20 @@ class OpsSpec extends SparkSpec {
     assertSameRows(salted, plain)
   }
 
+  test("downcast: numeric columns cast to minimal types (reference _table.py:33-66)") {
+    val df = Seq((1L, 200L, 70000L, 3000000000L, 1.5, 2.0))
+      .toDF("tiny", "small", "mid", "big", "fracF", "fracWide")
+    val out = graft.ops.Downcast.minimize(df)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("tiny") == "byte")
+    assert(types("small") == "short")
+    assert(types("mid") == "integer")
+    assert(types("big") == "long")
+    assert(types("fracF") == "float")
+    // values preserved
+    assert(out.head().getByte(0) == 1.toByte && out.head().getLong(3) == 3000000000L)
+  }
+
   test("salted repartition preserves row set") {
     val rows = (0 until 2000).map(i => (if (i % 3 == 0) "hot" else s"c$i", i.toLong))
     val df = rows.toDF("cell", "id")
