@@ -53,7 +53,9 @@ object SparkEntry {
     "q30_cell_encoders" -> (GraftQueries.q30CellEncoders _),
     "q31_raster_store" -> (GraftQueries.q31RasterStore _),
     "q32_sessionize" -> (GraftQueries.q32Sessionize _),
-    "q33_salted_agg" -> (GraftQueries.q33SaltedAgg _)
+    "q33_salted_agg" -> (GraftQueries.q33SaltedAgg _),
+    "q34_downcast" -> (GraftQueries.q34Downcast _),
+    "q35_vectorize" -> (GraftQueries.q35Vectorize _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -84,7 +86,9 @@ object SparkEntry {
     "q29_stream_hourly" -> GraftQueries.q29Sql,
     "q31_raster_store" -> GraftQueries.q31Sql,
     "q32_sessionize" -> GraftQueries.q32Sql,
-    "q33_salted_agg" -> GraftQueries.q33Sql
+    "q33_salted_agg" -> GraftQueries.q33Sql,
+    "q34_downcast" -> GraftQueries.q34Sql,
+    "q35_vectorize" -> GraftQueries.q35Sql
     // q20-q26: LSH/float-cosine internals are not SQL-expressible —
     // driver records rows-only; exactness is pinned in ScalaTest against
     // brute-force oracles instead.

@@ -137,6 +137,44 @@ object RasterPipeline {
     metrics.localCheckpoint(true)
   }
 
+  /** Raster -> vector: read a TileStore column back as one row per
+    * non-nodata cell with its box geometry — the inverse direction of
+    * the raster<->vector materialization pair. Tiles parallelize as a
+    * Dataset (one task per tile, no shuffle).
+    */
+  def fromTileStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): DataFrame = {
+    import spark.implicits._
+    val store = new TileStore(path)
+    val h = store.header
+    val spec = h.columns.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column in $path"))
+    val tileCells = math.round(h.tileSize / h.cellSize).toInt
+    val tiles = store.tiles()
+    val cellSize = h.cellSize
+    val dtype = spec.dtype
+    val nodata = spec.nodata
+    spark.createDataset(tiles)
+      .repartition(math.min(tiles.size, 64))
+      .flatMap { ref =>
+        val st = new TileStore(path)
+        val data = st.readRegion(ref, column, dtype)
+        val (minx, miny, _, maxy) = graft.index.Bng.bounds(ref)
+        data.iterator.zipWithIndex.collect {
+          case (v, idx) if !(v == nodata || (v.isNaN && nodata.isNaN)) =>
+            val r = idx / tileCells
+            val c = idx % tileCells
+            val cellMinX = minx + c * cellSize
+            val cellMaxY = maxy - r * cellSize
+            (ref, (cellMinX / cellSize).toLong,
+              ((cellMaxY - cellSize) / cellSize).toLong, v,
+              graft.geo.Wkb.write(graft.geo.Wkb.box(
+                cellMinX, cellMaxY - cellSize, cellMinX + cellSize, cellMaxY)))
+        }
+      }
+      .toDF("tile", "cell_e", "cell_n", "value", "geometry")
+  }
+
   /** Salted point rasterization for skewed tiles (north rule: "skew
     * handled by salted repartitioning on hot cells").
     *

@@ -659,6 +659,43 @@ object GraftQueries {
       |       CAST(COUNT(*) AS BIGINT) AS n
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Dtype minimization applied through the engine (reference pandas
+    * downcast, `_table.py:33-66`) — oracle recomputes the same casts.
+    */
+  def q34Downcast(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Downcast.minimize(t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount")))
+
+  val q34Sql: String =
+    """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      |       CAST(l_linenumber AS TINYINT) AS l_linenumber,
+      |       CAST(l_quantity AS TINYINT) AS l_quantity,
+      |       CAST(l_discount AS FLOAT) AS l_discount
+      |FROM lineitem""".stripMargin
+
+  /** Raster -> vector round trip: burn the doc points as a presence mask
+    * at 10 km cells, then vectorize the store back to one row per burned
+    * cell — the oracle recomputes the distinct-cell set relationally.
+    */
+  def q35Vectorize(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir).withColumn("geometry",
+      st_point(col("x").cast("double"), col("y").cast("double")))
+    val path = java.nio.file.Files.createTempDirectory("graft-q35-store").toString
+    graft.raster.RasterPipeline.toTileStore(pts, "geometry", Seq.empty, path,
+      cellSize = 10000, tileSize = 100000, overwrite = true)
+    graft.raster.RasterPipeline.fromTileStore(spark, path, "mask")
+      .select(col("cell_e"), col("cell_n"),
+        col("value").cast("long").as("value"))
+  }
+
+  val q35Sql: String =
+    s"""WITH pts AS ($docPointsSql)
+      |SELECT DISTINCT CAST(FLOOR(x / 10000) AS BIGINT) AS cell_e,
+      |       CAST(FLOOR(y / 10000) AS BIGINT) AS cell_n,
+      |       CAST(1 AS BIGINT) AS value
+      |FROM pts""".stripMargin
+
   val q32Sql: String =
     """WITH d AS (
       |  SELECT user_id, ts, value,
