@@ -87,7 +87,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "30000000").toLong
+    val cpusForSizing = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // size the headline run to ~4s of steady-state work per measurement
+    // regardless of the parallelism the driver grants
+    val benchRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong)
+      .getOrElse(cpusForSizing.toLong * 1000000L)
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 

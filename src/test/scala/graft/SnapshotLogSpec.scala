@@ -27,6 +27,32 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(metrics.map(_.rows).sum == 100)
   }
 
+  test("versioned table: append/overwrite commits, snapshot isolation, time travel") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vtable").toString
+    val t = new graft.input.VersionedTable(dir)
+    assert(t.headId.isEmpty)
+
+    val v0 = t.commit(graft.input.WebTable.synthesize(spark, 100, seed = 1).toDF(), "append")
+    val v1 = t.commit(graft.input.WebTable.synthesize(spark, 50, seed = 2)
+      .toDF().withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v1-"),
+        org.apache.spark.sql.functions.col("url"))), "append")
+    assert(v0 == 0 && v1 == 1)
+    assert(t.read(spark, Some(v0)).count() == 100)   // time travel
+    assert(t.read(spark).count() == 150)             // HEAD = append
+    assert(t.snapshots() == Seq(0L, 1L))
+
+    val v2 = t.commit(graft.input.WebTable.synthesize(spark, 10, seed = 3).toDF(),
+      "overwrite")
+    assert(t.read(spark).count() == 10)
+    assert(t.read(spark, Some(v1)).count() == 150)   // old snapshots intact
+    assert(t.manifest(v2).parent == v1)
+  }
+
   test("pipeline resume skips committed stages") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false")
