@@ -20,9 +20,14 @@ case class LayerWrapper(
     lookup: Map[String, Map[String, Double]] = Map.empty,
     lineage: LineageDag = LineageDag()) {
 
-  /** Arbitrary transformation with lineage capture. */
-  def transform(label: String)(f: DataFrame => DataFrame): LayerWrapper =
+  /** Arbitrary transformation with lineage capture. Logs the call in the
+    * reference's `@log` decorator shape ("Calling <method>(<args>)",
+    * `logger.py:163-229`).
+    */
+  def transform(label: String)(f: DataFrame => DataFrame): LayerWrapper = {
+    LayerWrapper.log.info(s"Calling $label on layer '$name'")
     copy(data = f(data), lineage = lineage.withStep(label, s"$name: $label"))
+  }
 
   def select(cols: Column*): LayerWrapper =
     transform(s"select(${cols.mkString(", ")})")(_.select(cols: _*))
@@ -86,6 +91,8 @@ case class LayerWrapper(
 }
 
 object LayerWrapper {
+  private[core] val log = org.slf4j.LoggerFactory.getLogger(classOf[LayerWrapper])
+
   /** Suffix-dispatch reader (reference `from_files`, `dataframe.py:110-212`):
     * csv/json/parquet via Spark readers; metadata from GEMINI XML or
     * sidecar JSON when given.

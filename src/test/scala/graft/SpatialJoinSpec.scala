@@ -66,6 +66,29 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("non-broadcast (sort-merge) spatial join path matches broadcast path") {
+    val ptsDf = pts.toDF("pid", "x", "y")
+    val polyDf = tris.toDF("poly_id", "wkt")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val viaBroadcast = SpatialJoin.pointInPolygon(ptsDf, "x", "y", polyDf, "geometry",
+        resolution = 10000L, broadcastPolys = true, predicate = "covers")
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val viaShuffle = SpatialJoin.pointInPolygon(ptsDf, "x", "y", polyDf, "geometry",
+        resolution = 10000L, broadcastPolys = false, predicate = "covers")
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(viaShuffle == viaBroadcast)
+  }
+
+  test("spatial join result invariant under input partitioning (north rule)") {
+    val polyDf = tris.toDF("poly_id", "wkt")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    def run(parts: Int) = SpatialJoin.pointInPolygon(
+        pts.toDF("pid", "x", "y").repartition(parts), "x", "y",
+        polyDf, "geometry", resolution = 10000L)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
+
   test("adaptive-radius kNN equals broadcast brute-force kNN") {
     val qs = (0L until 25L).map { q =>
       (q, rnd(q, 17) * 700000.0, rnd(q, 18) * 1300000.0)
