@@ -54,8 +54,10 @@ object Bench {
     val polys = polygonDims(spark)
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(path)
-      .withColumn("h3_9", h3_index_point(col("x"), col("y"), 9))
-      .withColumn("s2_12", s2_index_point(col("x"), col("y"), 12))
+      .withColumn("__cells__", spherical_cells(col("x"), col("y"), 9, 12))
+      .withColumn("h3_9", col("__cells__.h3"))
+      .withColumn("s2_12", col("__cells__.s2"))
+      .drop("__cells__")
     val joined = SpatialJoin.pointInPolygon(
       pages, "x", "y",
       polys, "geometry", resolution = 10000L,
