@@ -105,15 +105,38 @@ object RasterPipeline {
     val specNodata = specs.map(_.nodata)
     val storePath = path
 
+    // Explicit RANGE-partitioned shuffle on the tile key (north rule) +
+    // sortWithinPartitions: each task streams ordered runs of tile rows
+    // through the burn — no per-group buffering, bounded memory per task
+    // regardless of tile size, ordered tile output within partitions.
     val metrics = prepared
-      .groupByKey(_._1)
-      .flatMapGroups { (tileRef: String, rows: Iterator[(String, Array[Byte], Seq[Double])]) =>
+      .repartitionByRange(col("__tile"))
+      .sortWithinPartitions(col("__tile"))
+      .as[(String, Array[Byte], Seq[Double])]
+      .mapPartitions { rows =>
         val st = new TileStore(storePath)
-        val (minx, miny, _, _) = graft.index.Bng.bounds(tileRef)
-        val grids = specNodata.map(nd =>
-          Rasterize.empty(minx, miny, cellSize, tileCells, fill = nd))
+        var curTile: String = null
+        var grids: Seq[TileGrid] = null
         var burnedRows = 0L
-        rows.foreach { case (_, geomBytes, vals) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+        def flush(): Unit = if (curTile != null) {
+          specNames.indices.foreach { si =>
+            st.writeRegion(curTile, specNames(si), specDtypes(si), grids(si).data)
+            val nd = specNodata(si)
+            val burnedCells = grids(si).data.count(d =>
+              !(d == nd || (d.isNaN && nd.isNaN))).toLong
+            out += ((curTile, specNames(si), burnedCells, burnedRows))
+          }
+        }
+        rows.foreach { case (tileRef, geomBytes, vals) =>
+          if (tileRef != curTile) {
+            flush()
+            curTile = tileRef
+            burnedRows = 0L
+            val (minx, miny, _, _) = graft.index.Bng.bounds(tileRef)
+            grids = specNodata.map(nd =>
+              Rasterize.empty(minx, miny, cellSize, tileCells, fill = nd))
+          }
           val geom = graft.geo.Wkb.read(geomBytes)
           var si = 0
           while (si < grids.length) {
@@ -122,13 +145,8 @@ object RasterPipeline {
           }
           burnedRows += 1
         }
-        specNames.indices.iterator.map { si =>
-          st.writeRegion(tileRef, specNames(si), specDtypes(si), grids(si).data)
-          val nd = specNodata(si)
-          val burnedCells = grids(si).data.count(d =>
-            !(d == nd || (d.isNaN && nd.isNaN))).toLong
-          (tileRef, specNames(si), burnedCells, burnedRows)
-        }
+        flush()
+        out.iterator
       }
       .toDF("tile", "column", "burned_cells", "n_rows")
     // Sinks execute eagerly (the reference forces the grouped-map with a
