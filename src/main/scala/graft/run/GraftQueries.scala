@@ -3,7 +3,7 @@ package graft.run
 import graft.geo.GeoExpressions._
 import graft.index.IndexExpressions._
 import graft.ops.{Categorize, KnnJoin, SpatialJoin}
-import graft.raster.Rasterize
+import graft.raster.{Rasterize, TileGrid}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -350,19 +350,36 @@ object GraftQueries {
         docPoints(spark, dir), "lang", "lang_code")
       .select(col("doc_id"), col("x"), col("y"), col("lang_code"))
       .as[(Long, Long, Long, Long)]
-    pts.groupByKey { case (_, x, y, _) => (x / 10000L, y / 10000L) }
-      .flatMapGroups { (key: (Long, Long), rows: Iterator[(Long, Long, Long, Long)]) =>
-        val (te, tn) = key
-        val grid = Rasterize.empty(
-          minx = te * 10000d, miny = tn * 10000d, cellSize = 100d, cells = 100,
-          fill = -1d)
-        rows.toArray.sortBy(_._1).foreach { case (_, x, y, code) =>
+    // range-partition by tile, sort by (tile, doc_id) so last-write-wins
+    // order is the doc order WITHOUT buffering the group (streaming burn)
+    pts.toDF("doc_id", "x", "y", "lang_code")
+      .withColumn("__te__", org.apache.spark.sql.functions.expr("x div 10000"))
+      .withColumn("__tn__", org.apache.spark.sql.functions.expr("y div 10000"))
+      .repartitionByRange(col("__te__"), col("__tn__"))
+      .sortWithinPartitions(col("__te__"), col("__tn__"), col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var curTe = Long.MinValue
+        var curTn = Long.MinValue
+        var grid: TileGrid = null
+        def flush(): Unit = if (grid != null) {
+          var burned = 0L
+          var sum = 0L
+          grid.data.foreach { v => if (v >= 0) { burned += 1; sum += v.toLong } }
+          out += ((curTe, curTn, burned, sum))
+        }
+        rows.foreach { case (_, x, y, code, te, tn) =>
+          if (te != curTe || tn != curTn) {
+            flush()
+            curTe = te; curTn = tn
+            grid = Rasterize.empty(minx = te * 10000d, miny = tn * 10000d,
+              cellSize = 100d, cells = 100, fill = -1d)
+          }
           Rasterize.burnPoint(grid, x.toDouble, y.toDouble, code.toDouble)
         }
-        var burned = 0L
-        var sum = 0L
-        grid.data.foreach { v => if (v >= 0) { burned += 1; sum += v.toLong } }
-        Iterator((te, tn, burned, sum))
+        flush()
+        out.iterator
       }
       .toDF("tile_e", "tile_n", "burned_cells", "value_sum")
   }
