@@ -61,6 +61,34 @@ object SpatialJoin {
     refined
   }
 
+  /** Radius (range) join: every (query, point) pair within `radius`
+    * metres. Candidates come from the query's cell k-ring (k sized from
+    * the radius), so each query probes O(k²) cells instead of the whole
+    * corpus; exact euclidean refine. One shuffle on the cell key.
+    */
+  def radiusJoin(
+      queries: DataFrame, qId: String, qx: String, qy: String,
+      points: DataFrame, pId: String, x: String, y: String,
+      radius: Double, resolution: Long = 10000L,
+      broadcastQueries: Boolean = true): DataFrame = {
+    import graft.index.IndexExpressions._
+    val rings = math.ceil(radius / resolution).toInt + 1
+    val qCells = queries
+      .withColumn("__qcell__", bng_index_point(col(qx), col(qy), resolution))
+      .withColumn("__r__", explode(sequence(lit(0), lit(rings))))
+      .withColumn("__cell__", explode(cell_ring(col("__qcell__"), col("__r__"))))
+      .drop("__qcell__", "__r__")
+    val qSide = if (broadcastQueries) broadcast(qCells) else qCells
+    points
+      .withColumn("__cell__", bng_index_point(col(x), col(y), resolution))
+      .join(qSide, Seq("__cell__"))
+      .withColumn("dist2",
+        (col(x) - col(qx)) * (col(x) - col(qx)) +
+        (col(y) - col(qy)) * (col(y) - col(qy)))
+      .filter(col("dist2") <= radius * radius)
+      .drop("__cell__")
+  }
+
   /** Generic geometry-vs-geometry spatial join on any JTS predicate.
     * Both sides explode to cells; pairs meeting in multiple cells are
     * deduped on the caller-supplied key columns.

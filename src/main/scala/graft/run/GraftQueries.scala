@@ -713,6 +713,35 @@ object GraftQueries {
       |       CAST(1 AS BIGINT) AS value
       |FROM pts""".stripMargin
 
+  /** Radius (range) join: docs within 40 km of each nation point, through
+    * the cell-ring candidate path + exact refine.
+    */
+  def q36RadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val qs = nationBoxes(spark, dir).select(
+      col("nation_key"),
+      ((col("nation_key") * 37199L + 101L) % 700000L).cast("double").as("qx"),
+      ((col("nation_key") * 54011L + 303L) % 1300000L).cast("double").as("qy"))
+    val pts = docPoints(spark, dir).select(col("doc_id"),
+      col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    SpatialJoin.radiusJoin(qs, "nation_key", "qx", "qy",
+        pts, "doc_id", "x", "y", radius = 40000.0, resolution = 10000L)
+      .select(col("nation_key"), col("doc_id"), col("dist2").cast("long").as("dist2"))
+  }
+
+  val q36Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |nb AS ($nationBoxesSql),
+      |q AS (
+      |  SELECT nation_key,
+      |         (nation_key * 37199 + 101) % 700000 AS qx,
+      |         (nation_key * 54011 + 303) % 1300000 AS qy
+      |  FROM nb)
+      |SELECT q.nation_key, p.doc_id,
+      |       CAST((p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS BIGINT) AS dist2
+      |FROM q, pts p
+      |WHERE (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+      |      <= 40000 * 40000""".stripMargin
+
   val q32Sql: String =
     """WITH d AS (
       |  SELECT user_id, ts, value,
