@@ -56,7 +56,8 @@ object SparkEntry {
     "q33_salted_agg" -> (GraftQueries.q33SaltedAgg _),
     "q34_downcast" -> (GraftQueries.q34Downcast _),
     "q35_vectorize" -> (GraftQueries.q35Vectorize _),
-    "q36_radius_join" -> (GraftQueries.q36RadiusJoin _)
+    "q36_radius_join" -> (GraftQueries.q36RadiusJoin _),
+    "q37_asof_join" -> (GraftQueries.q37AsOfJoin _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -90,7 +91,8 @@ object SparkEntry {
     "q33_salted_agg" -> GraftQueries.q33Sql,
     "q34_downcast" -> GraftQueries.q34Sql,
     "q35_vectorize" -> GraftQueries.q35Sql,
-    "q36_radius_join" -> GraftQueries.q36Sql
+    "q36_radius_join" -> GraftQueries.q36Sql,
+    "q37_asof_join" -> GraftQueries.q37Sql
     // q20-q26: LSH/float-cosine internals are not SQL-expressible —
     // driver records rows-only; exactness is pinned in ScalaTest against
     // brute-force oracles instead.

@@ -742,6 +742,31 @@ object GraftQueries {
       |WHERE (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
       |      <= 40000 * 40000""".stripMargin
 
+  /** As-of join: each event matched to the user's most recent order at
+    * the event time (orders pre-deduped to one per (custkey, date) so
+    * both engines tie-break identically). Oracle uses DuckDB's native
+    * ASOF JOIN.
+    */
+  def q37AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.ops.AsOfJoin.asOf(events, "user_id", "ts",
+        orders.withColumnRenamed("o_custkey", "user_id"), "user_id",
+        "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+  }
+
+  val q37Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
+      |FROM events e
+      |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+
   val q32Sql: String =
     """WITH d AS (
       |  SELECT user_id, ts, value,
