@@ -73,6 +73,42 @@ object Bench {
     n / secs
   }
 
+  /** Rasterization throughput: N small polygons burned through the full
+    * tile pipeline (stats job, tile shuffle, scanline burn at 10 m cells,
+    * region writes). The reference runs this kernel through Python
+    * workers + rasterio per tile; here it is pure JVM — geometries/sec is
+    * the comparable single-node number.
+    */
+  def rasterizeThroughput(spark: SparkSession, n: Long): Double = {
+    import spark.implicits._
+    // geometries clustered in a 300x300 km area (real geo data clusters;
+    // uniform-over-the-canvas would measure empty-tile file IO instead
+    // of the burn kernel)
+    val boxes = spark.range(0L, n, 1L, 64).map { i =>
+      val h = WebTable.splitmix64(i * 131L)
+      val x = 200000.0 + java.lang.Long.remainderUnsigned(h, 298000L).toDouble
+      val y = 400000.0 + java.lang.Long.remainderUnsigned(WebTable.splitmix64(h), 298000L).toDouble
+      ((i % 250).toDouble,
+        graft.geo.Wkb.write(graft.geo.Wkb.box(x, y, x + 200, y + 200)))
+    }.toDF("v", "geometry")
+    boxes.write.mode("overwrite").parquet("/tmp/graft-bench-boxes")
+    val src = spark.read.parquet("/tmp/graft-bench-boxes")
+    val out = java.nio.file.Files.createTempDirectory("graft-bench-raster").toString
+    val t0 = System.nanoTime()
+    graft.raster.RasterPipeline.toTileStore(src, "geometry", Seq("v"), out,
+      cellSize = 10.0, tileSize = 10000.0, overwrite = true)
+    val rps = n / ((System.nanoTime() - t0) / 1e9)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    rps
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -103,6 +139,11 @@ object Bench {
     (1 to 3).foreach(_ => spatialPipelineThroughput(spark, benchRows))
     val rowsPerSec = (1 to 3).map(_ => spatialPipelineThroughput(spark, benchRows)).max
 
+    // rasterize kernel throughput (geometries/sec through the tile sink)
+    rasterizeThroughput(spark, 20000L) // warm
+    val rasterRowsPerSec = (1 to 2).map(_ =>
+      rasterizeThroughput(spark, cpusForSizing.toLong * 10000L)).max
+
     // per-query catalogue timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -112,7 +153,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
