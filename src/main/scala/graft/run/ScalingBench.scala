@@ -30,11 +30,13 @@ object ScalingBench {
     }
 
     // Symmetric JIT warm-up: C2-compile the whole pipeline under BOTH
-    // parallelism levels first, then time each with a median of three —
-    // otherwise whichever level runs first eats the compilation cost.
+    // parallelism levels first, then two timed cycles per level (median
+    // of three runs each cycle, best cycle kept) — otherwise whichever
+    // level runs first eats the compilation cost and GC phase noise
+    // dominates single cycles.
     warmAt(8); warmAt(32)
-    val rps8 = timeAt(8)
-    val rps32 = timeAt(32)
+    val rps8 = math.max(timeAt(8), timeAt(8))
+    val rps32 = math.max(timeAt(32), timeAt(32))
     val eff = (rps32 / rps8) / 4.0
 
     val md =
