@@ -42,27 +42,39 @@ object Transform {
 
     val sinLat = math.sin(lat); val cosLat = math.cos(lat)
     val tanLat = sinLat / cosLat
-    val nu = a * F0 / math.sqrt(1 - e2 * sinLat * sinLat)
-    val rho = a * F0 * (1 - e2) / math.pow(1 - e2 * sinLat * sinLat, 1.5)
+    // per-row hot path: explicit powers (math.pow costs more than the
+    // rest of the projection combined)
+    val w = 1 - e2 * sinLat * sinLat
+    val sqrtW = math.sqrt(w)
+    val nu = a * F0 / sqrtW
+    val rho = a * F0 * (1 - e2) / (w * sqrtW)
     val eta2 = nu / rho - 1
 
     val tan2 = tanLat * tanLat
+    val nu3 = nu * nu * nu
+    val nu5 = nu3 * nu * nu
+    val nu7 = nu5 * nu * nu
     val VII = tanLat / (2 * rho * nu)
-    val VIII = tanLat / (24 * rho * nu * nu * nu) *
+    val VIII = tanLat / (24 * rho * nu3) *
       (5 + 3 * tan2 + eta2 - 9 * tan2 * eta2)
-    val IX = tanLat / (720 * rho * math.pow(nu, 5)) *
+    val IX = tanLat / (720 * rho * nu5) *
       (61 + 90 * tan2 + 45 * tan2 * tan2)
     val secLat = 1.0 / cosLat
     val X = secLat / nu
-    val XI = secLat / (6 * nu * nu * nu) * (nu / rho + 2 * tan2)
-    val XII = secLat / (120 * math.pow(nu, 5)) * (5 + 28 * tan2 + 24 * tan2 * tan2)
-    val XIIA = secLat / (5040 * math.pow(nu, 7)) *
-      (61 + 662 * tan2 + 1320 * tan2 * tan2 + 720 * math.pow(tan2, 3))
+    val XI = secLat / (6 * nu3) * (nu / rho + 2 * tan2)
+    val XII = secLat / (120 * nu5) * (5 + 28 * tan2 + 24 * tan2 * tan2)
+    val XIIA = secLat / (5040 * nu7) *
+      (61 + 662 * tan2 + 1320 * tan2 * tan2 + 720 * tan2 * tan2 * tan2)
 
     val dE = e - E0
-    val latOut = lat - VII * dE * dE + VIII * math.pow(dE, 4) - IX * math.pow(dE, 6)
-    val lonOut = lon0 + X * dE - XI * math.pow(dE, 3) + XII * math.pow(dE, 5) -
-      XIIA * math.pow(dE, 7)
+    val dE2 = dE * dE
+    val dE3 = dE2 * dE
+    val dE4 = dE2 * dE2
+    val dE5 = dE4 * dE
+    val dE6 = dE4 * dE2
+    val dE7 = dE6 * dE
+    val latOut = lat - VII * dE2 + VIII * dE4 - IX * dE6
+    val lonOut = lon0 + X * dE - XI * dE3 + XII * dE5 - XIIA * dE7
     (latOut, lonOut)
   }
 
