@@ -74,6 +74,49 @@ object Similarity {
     best
   }
 
+  /** Distributed Lloyd iterations: assignment + per-dimension mean run as
+    * Spark aggregations over the FULL corpus (map-side combined; the only
+    * driver traffic is the nlist x dim centroid matrix per iteration).
+    * This is the 10^12-row training path; [[trainCentroids]] is the
+    * driver-sample shortcut for small inputs.
+    */
+  def trainCentroidsDistributed(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.functions._
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    // deterministic init: the nlist rows with smallest ids
+    var centroids: Array[Array[Double]] = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf { (v: Seq[Float]) =>
+        nearestCentroid(v.map(_.toDouble).toArray, bc.value)
+      }
+      // per-centroid, per-dimension sums in ONE aggregation: sum the
+      // vectors element-wise per cluster plus the member count
+      val sums = corpus
+        .withColumn("__c__", assignUdf(col(vec)))
+        .groupBy(col("__c__"))
+        .agg(count(lit(1)).as("__n__"),
+          array((0 until dim).map(d =>
+            sum(element_at(col(vec), d + 1).cast("double"))): _*).as("__s__"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0) {
+          val s = r.getSeq[Double](2)
+          next(c) = s.map(_ / n).toArray
+        }
+      }
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF ANN top-k: assign corpus to centroid lists, probe the `nprobe`
     * nearest lists per query. Returns same shape as bruteForceTopK (may
     * miss true neighbours outside probed lists — recall measured in
@@ -81,9 +124,12 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      distributedTraining: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = trainCentroids(corpus, id, vec, nlist)
+    val centroids =
+      if (distributedTraining) trainCentroidsDistributed(corpus, id, vec, nlist)
+      else trainCentroids(corpus, id, vec, nlist)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf { (v: Seq[Float]) =>

@@ -52,6 +52,21 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.7, s"IVF mean recall@10 = $mean")
   }
 
+  test("distributed k-means training: IVF recall holds with full-corpus Lloyd") {
+    val got = Similarity.ivfTopK(
+        queries.toDF("qid", "qvec"), "qid", "qvec",
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 10,
+        nlist = 8, nprobe = 4, distributedTraining = true)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = queries.map { case (qid, _) =>
+      val truth = oracleTopK(qid).toSet
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.7,
+      s"distributed-trained IVF recall ${recalls.sum / recalls.size}")
+  }
+
   test("ivf results are sound: every returned cosine is correct") {
     val all = (corpus ++ queries).toMap
     val got = Similarity.ivfTopK(
