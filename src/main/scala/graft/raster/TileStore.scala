@@ -12,6 +12,22 @@ import java.nio.{ByteBuffer, ByteOrder}
 case class ColumnSpec(name: String, dtype: String, nodata: Double,
     lookup: Option[String] = None)
 
+object TileStore {
+  /** JSON has no NaN literal; float nodata sentinels round-trip as the
+    * string "NaN" (reference float dtypes use NaN nodata,
+    * `_dataframe.py:217-219`).
+    */
+  object NanSerializer extends org.json4s.CustomSerializer[Double](_ => (
+    {
+      case org.json4s.JString("NaN") => Double.NaN
+      case org.json4s.JDouble(d) => d
+      case org.json4s.JInt(i) => i.toDouble
+      case org.json4s.JLong(l) => l.toDouble
+    },
+    { case d: Double if d.isNaN => org.json4s.JString("NaN") }
+  ))
+}
+
 /** Store header — the "skeleton" (reference `_create_dummy_dataset`,
   * `_dataframe.py:489-576`): canvas geometry + per-column dtype/nodata +
   * metadata/lineage attrs, written once on the driver before any tile.
@@ -33,7 +49,8 @@ case class StoreHeader(
   */
 class TileStore(val path: String) {
   private val headerPath = Paths.get(path, "_store.json")
-  implicit private val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+  implicit private val fmts: org.json4s.Formats =
+    org.json4s.DefaultFormats + TileStore.NanSerializer
 
   def exists: Boolean = Files.exists(headerPath)
 

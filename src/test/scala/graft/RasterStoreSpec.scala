@@ -82,6 +82,24 @@ class RasterStoreSpec extends SparkSpec {
     assert(canvas.flatten.count(_ == 2d) == 4)
   }
 
+  test("float column: NaN nodata survives the canvas round trip") {
+    val rows = Seq(
+      (1.5, Wkb.write(Wkb.box(100000, 100000, 200000, 200000))),
+      (2.25, Wkb.write(Wkb.box(300000, 300000, 400000, 400000))))
+    val df = rows.toDF("temp", "geometry")
+    val path = java.nio.file.Files.createTempDirectory("tilestoreF").toString
+    RasterPipeline.toTileStore(df, "geometry", Seq("temp"), path,
+      cellSize = 100000, tileSize = 100000, overwrite = true)
+    val store = new TileStore(path)
+    val spec = store.header.columns.head
+    assert(spec.dtype == "float32" && spec.nodata.isNaN)
+    val canvas = store.assembleCanvas("temp").flatten
+    assert(canvas.count(_ == 1.5) == 1)
+    assert(canvas.count(_ == 2.25) == 1)
+    assert(canvas.count(_.isNaN) == 89) // all unwritten cells NaN
+    assert(canvas.count(v => !v.isNaN) == 2)
+  }
+
   test("mask mode: no columns -> uint8 presence mask, nodata 0") {
     val df = Seq((Wkb.write(Wkb.box(100000, 100000, 200000, 200000)), 1))
       .toDF("geometry", "ignored")
