@@ -193,6 +193,39 @@ object RasterPipeline {
       .toDF("tile", "cell_e", "cell_n", "value", "geometry")
   }
 
+  /** Distributed raster resample: every tile of a TileStore column is
+    * resampled to a new cell size independently (Dataset over tiles, no
+    * shuffle — SURVEY.md §3.3: the reference's sequential dask chunk loop
+    * becomes embarrassingly parallel). Nearest neighbour for categorical
+    * bands, bilinear for continuous (`_raster.py:87-138` semantics).
+    */
+  def resampleStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, dstCellSize: Double,
+      categorical: Boolean, overwrite: Boolean = false): Unit = {
+    import spark.implicits._
+    val src = new TileStore(srcPath)
+    val h = src.header
+    val dst = new TileStore(dstPath)
+    dst.init(h.copy(cellSize = dstCellSize), overwrite)
+    val srcCells = math.round(h.tileSize / h.cellSize).toInt
+    val dstCells = math.round(h.tileSize / dstCellSize).toInt
+    val specs = h.columns
+    val tiles = src.tiles()
+    spark.createDataset(tiles)
+      .repartition(math.min(math.max(tiles.size, 1), 64))
+      .foreach { ref =>
+        val s = new TileStore(srcPath)
+        val d = new TileStore(dstPath)
+        specs.foreach { spec =>
+          val data = s.readRegion(ref, spec.name, spec.dtype)
+          val res =
+            if (categorical) Resample.nearest(data, srcCells, srcCells, dstCells, dstCells)
+            else Resample.bilinear(data, srcCells, srcCells, dstCells, dstCells)
+          d.writeRegion(ref, spec.name, spec.dtype, res)
+        }
+      }
+  }
+
   /** Salted point rasterization for skewed tiles (north rule: "skew
     * handled by salted repartitioning on hot cells").
     *

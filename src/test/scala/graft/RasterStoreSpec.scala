@@ -147,6 +147,31 @@ class RasterStoreSpec extends SparkSpec {
     assert(st.tiles() == Seq("SE"))
   }
 
+  test("distributed store resample: 100km cells -> 50km cells, values preserved") {
+    // one-tile-per-100km chequerboard store (from the earlier golden)
+    val rows = for {
+      r <- 0 until 13; c <- 0 until 7
+      i = r * 7 + c
+      if i % 2 == 0
+    } yield (i.toLong, Wkb.write(Wkb.box(c * 100000.0, (12 - r) * 100000.0,
+      c * 100000.0 + 100000, (12 - r) * 100000.0 + 100000)))
+    val src = java.nio.file.Files.createTempDirectory("rsrc").toString
+    RasterPipeline.toTileStore(rows.toDF("val", "geometry"), "geometry",
+      Seq("val"), src, cellSize = 100000, tileSize = 100000, overwrite = true)
+    val dst = java.nio.file.Files.createTempDirectory("rdst").toString
+    RasterPipeline.resampleStore(spark, src, dst, dstCellSize = 50000,
+      categorical = true, overwrite = true)
+    val canvas = new TileStore(dst).assembleCanvas("val")
+    assert(canvas.length == 26 && canvas.head.length == 14)
+    // each burned 100km square becomes a 2x2 block of the same value
+    for (r <- 0 until 13; c <- 0 until 7) {
+      val i = r * 7 + c
+      val expected = if (i % 2 == 0) i.toDouble else 255d
+      for (dr <- 0 until 2; dc <- 0 until 2)
+        assert(canvas(r * 2 + dr)(c * 2 + dc) == expected, s"($r,$c)")
+    }
+  }
+
   // ------------- resample matrix (reference tests/test_raster.py) -------
 
   /** 6x6 "numbers" base: 2x2 blocks of 0..8. */
