@@ -30,6 +30,30 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got(1)._3.toSeq == bytes.slice(64, 80).toSeq)
   }
 
+  test("file stream processes incrementally arriving batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("increm").toString
+    val batch1 = spark.read.parquet(s"$sf0/events.parquet").limit(400)
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val name = s"t_increm_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    val n1 = spark.table(name).agg(sum("n")).head().getLong(0)
+    assert(n1 == 400)
+    // second batch arrives while the query runs
+    spark.read.parquet(s"$sf0/events.parquet")
+      .orderBy(col("event_id").desc).limit(250)
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val n2 = spark.table(name).agg(sum("n")).head().getLong(0)
+    q.stop()
+    assert(n2 == 650, s"incremental batch not picked up: $n2")
+  }
+
   test("stateful streaming sessionization equals batch sessionization") {
     val batch = graft.streaming.Sessionize.sessionizeBatch(
       spark.read.parquet(s"$sf0/events.parquet"), 30)
