@@ -237,6 +237,69 @@ object RasterPipeline {
     * the highest order — bit-identical to the unsalted last-write-wins-
     * by-order result (property-tested in RasterStoreSpec).
     */
+  /** Geometry variant of the salted path: same order-merged partial
+    * grids, but each row burns a full WKB geometry (scanline) instead of
+    * a point — `Rasterize.burnGeometryOrdered` tracks per-cell write
+    * order inside the burn.
+    */
+  def toTileStoreSaltedGeoms(
+      df: DataFrame, geometryCol: String, orderCol: String,
+      valueCol: String, path: String,
+      cellSize: Double, tileSize: Double,
+      targetRowsPerTask: Long,
+      overwrite: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    val (dtype, nodata) = Constants.dtypeAndNodata(row.getDouble(0), row.getDouble(1))
+    val store = new TileStore(path)
+    store.init(StoreHeader("EPSG:27700", cellSize, 0d, 0d,
+      Constants.BngXMax.toDouble, Constants.BngYMax.toDouble, tileSize,
+      Seq(ColumnSpec(valueCol, dtype, nodata)), Map("salted" -> "true")), overwrite)
+    val tileCells = math.round(tileSize / cellSize).toInt
+
+    val rows = df.select(
+      explode(bng_index(col(geometryCol), tileSize.toLong, "intersects")).as("__tile"),
+      col(geometryCol).as("__g"),
+      col(orderCol).cast("long").as("__ord"),
+      col(valueCol).cast("double").as("__v"))
+    val salted = graft.ops.Salting.withSalt(rows, "__tile", "__ord", targetRowsPerTask)
+      .as[(String, Array[Byte], Long, Double, Int)]
+
+    val partials = salted
+      .groupByKey { case (tile, _, _, _, salt) => (tile, salt) }
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Array[Byte], Long, Double, Int)]) =>
+        val tile = key._1
+        val (minx, miny, _, _) = graft.index.Bng.bounds(tile)
+        val grid = Rasterize.empty(minx, miny, cellSize, tileCells, fill = nodata)
+        val ord = Array.fill(tileCells * tileCells)(Long.MinValue)
+        it.foreach { case (_, wkb, o, v, _) =>
+          Rasterize.burnGeometryOrdered(grid, ord, graft.geo.Wkb.read(wkb), v, o)
+        }
+        (tile, grid.data.toSeq, ord.toSeq)
+      }
+
+    val metrics = partials
+      .groupByKey(_._1)
+      .mapGroups { (tile: String, parts: Iterator[(String, Seq[Double], Seq[Long])]) =>
+        val data = Array.fill(tileCells * tileCells)(nodata)
+        val ord = Array.fill(tileCells * tileCells)(Long.MinValue)
+        parts.foreach { case (_, pd, po) =>
+          var i = 0
+          while (i < data.length) {
+            if (po(i) > ord(i)) { ord(i) = po(i); data(i) = pd(i) }
+            i += 1
+          }
+        }
+        new TileStore(path).writeRegion(tile, valueCol, dtype, data)
+        val burned = data.count(d => !(d == nodata || (d.isNaN && nodata.isNaN))).toLong
+        (tile, valueCol, burned)
+      }
+      .toDF("tile", "column", "burned_cells")
+    metrics.localCheckpoint(true)
+  }
+
   def toTileStoreSaltedPoints(
       df: DataFrame, xCol: String, yCol: String, orderCol: String,
       valueCol: String, path: String,

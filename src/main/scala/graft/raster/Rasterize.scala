@@ -155,6 +155,29 @@ object Rasterize {
     }
   }
 
+  /** Order-aware burn for salted/parallel partial grids: a cell is
+    * written only when `ord` is >= the order that last wrote it, so
+    * merging partial grids by per-cell max order reproduces the exact
+    * sequential last-write-wins result regardless of how rows were split
+    * across salted tasks.
+    */
+  def burnGeometryOrdered(grid: TileGrid, ordGrid: Array[Long],
+      geom: Geometry, value: Double, ord: Long): Unit = {
+    if (geom == null || geom.isEmpty) return
+    // two-pass: mark covered cells in a scratch grid with the standard
+    // scanline, then apply order-checked writes cell-by-cell
+    val marker = empty(grid.minx, grid.miny, grid.cellSize, grid.cells, 0d)
+    burnGeometry(marker, geom, 1d)
+    var i = 0
+    while (i < marker.data.length) {
+      if (marker.data(i) == 1d && ord >= ordGrid(i)) {
+        ordGrid(i) = ord
+        grid.data(i) = value
+      }
+      i += 1
+    }
+  }
+
   /** Region placement math — the reference's `_dataframe.py:662-672`:
     * global-canvas row/col slice of a tile given the full-canvas extent.
     * Returns (rowStart, rowEnd, colStart, colEnd), rows from the TOP of

@@ -75,6 +75,50 @@ class ResumeSaltMetricsSpec extends SparkSpec {
     assert(burnedCells == unsalted.keys.size)
   }
 
+  test("salted GEOMETRY rasterization == sequential ordered burn (overlapping boxes, skewed)") {
+    // overlapping 3km boxes, 80% in one hot 10km tile; order = id
+    val geoms = (0 until 1200).map { i =>
+      val h = graft.input.WebTable.splitmix64(i.toLong * 97L)
+      val hot = i % 5 != 0
+      val x = if (hot) 530000.0 + java.lang.Long.remainderUnsigned(h, 7000L)
+        else java.lang.Long.remainderUnsigned(h, 690000L).toDouble
+      val y = if (hot) 180000.0 + java.lang.Long.remainderUnsigned(h >>> 13, 7000L)
+        else java.lang.Long.remainderUnsigned(h >>> 7, 1290000L).toDouble
+      (i.toLong, (i % 9).toDouble, x, y)
+    }
+    val df = geoms.map { case (id, v, x, y) =>
+      (id, v, Wkb.write(Wkb.box(x, y, x + 3000, y + 3000)))
+    }.toDF("ord", "v", "geometry")
+    val path = java.nio.file.Files.createTempDirectory("saltedG").toString
+    RasterPipeline.toTileStoreSaltedGeoms(df, "geometry", "ord", "v", path,
+      cellSize = 500, tileSize = 10000, targetRowsPerTask = 100, overwrite = true)
+
+    // sequential oracle: burn in ord order over the full canvas per tile
+    val store = new TileStore(path)
+    val spec = store.header.columns.head
+    val oracle = new scala.collection.mutable.HashMap[(String, Int), Double]()
+    geoms.sortBy(_._1).foreach { case (_, v, x, y) =>
+      val g = graft.geo.Wkb.read(Wkb.write(Wkb.box(x, y, x + 3000, y + 3000)))
+      // tiles the box intersects (may span several)
+      graft.index.Bng.envelopeCells(x, y, x + 3000, y + 3000, 10000).foreach { tile =>
+        val (minx, miny, _, _) = graft.index.Bng.bounds(tile)
+        val grid = graft.raster.Rasterize.empty(minx, miny, 500, 20, fill = Double.NaN)
+        graft.raster.Rasterize.burnGeometry(grid, g, v)
+        grid.data.zipWithIndex.foreach { case (value, idx) =>
+          if (!value.isNaN) oracle((tile, idx)) = value
+        }
+      }
+    }
+    store.tiles().foreach { tile =>
+      val data = store.readRegion(tile, "v", spec.dtype)
+      data.zipWithIndex.foreach { case (got, idx) =>
+        val expected = oracle.getOrElse((tile, idx), spec.nodata)
+        assert(got == expected, s"tile $tile cell $idx: $got vs $expected")
+      }
+    }
+    assert(oracle.nonEmpty)
+  }
+
   test("observe metrics ride the job (no extra scan) and are captured") {
     graft.run.Metrics.register(spark)
     graft.run.Metrics.captured.clear()
