@@ -127,6 +127,55 @@ object S2 {
     (id & -lsb) | lsb
   }
 
+  /** (latDeg, lngDeg) -> (face, leaf i, leaf j). */
+  def faceIJ(latDeg: Double, lngDeg: Double): (Int, Int, Int) = {
+    val phi = math.toRadians(latDeg)
+    val theta = math.toRadians(lngDeg)
+    val cosPhi = math.cos(phi)
+    val (face, u, v) = xyzToFaceUV(
+      math.cos(theta) * cosPhi, math.sin(theta) * cosPhi, math.sin(phi))
+    (face, stToIJ(uvToST(u)), stToIJ(uvToST(v)))
+  }
+
+  /** Cells at `level` covering a BNG envelope (conservative superset).
+    *
+    * Valid because the BNG canvas lies entirely on one S2 face (face 2,
+    * verified in H3S2Spec), where the (i, j) leaf grid is a plain square
+    * grid: sample the envelope's corners + edge midpoints, take the ij
+    * bounding box, pad one cell for curvature. Cross-face envelopes are
+    * rejected (would need S2's face-adjacency tables).
+    */
+  def coverEnvelopeBng(minx: Double, miny: Double, maxx: Double, maxy: Double,
+      level: Int): Seq[Long] = {
+    val samples = for {
+      x <- Seq(minx, (minx + maxx) / 2, maxx)
+      y <- Seq(miny, (miny + maxy) / 2, maxy)
+    } yield {
+      val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+      faceIJ(lat, lng)
+    }
+    val faces = samples.map(_._1).distinct
+    require(faces.size == 1,
+      s"envelope spans S2 faces $faces — cross-face covers unsupported")
+    val face = faces.head
+    val step = 1 << (MaxLevel - level)
+    val iMin = math.max(0, (samples.map(_._2).min & -step) - step)
+    val iMax = math.min((1 << MaxLevel) - 1, samples.map(_._2).max + step)
+    val jMin = math.max(0, (samples.map(_._3).min & -step) - step)
+    val jMax = math.min((1 << MaxLevel) - 1, samples.map(_._3).max + step)
+    val out = Seq.newBuilder[Long]
+    var i = iMin & -step
+    while (i <= iMax) {
+      var j = jMin & -step
+      while (j <= jMax) {
+        out += parent(fromFaceIJ(face, i, j), level)
+        j += step
+      }
+      i += step
+    }
+    out.result().distinct
+  }
+
   def isValid(id: Long): Boolean =
     id != 0 && face(id) < 6 &&
       (java.lang.Long.numberOfTrailingZeros(id) % 2 == 0)

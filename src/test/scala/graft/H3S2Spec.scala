@@ -70,6 +70,32 @@ class H3S2Spec extends AnyFunSuite {
     assert(S2.cellId(51.5, -0.12, 10) != S2.cellId(52.5, -0.12, 10))
   }
 
+  test("BNG canvas lies on a single S2 face (cover precondition)") {
+    val faces = (for {
+      x <- 0 to 700000 by 100000
+      y <- 0 to 1300000 by 100000
+    } yield {
+      val (lat, lng) = Transform.bngToWgs84Deg(
+        math.min(x, 699999).toDouble, math.min(y, 1299999).toDouble)
+      S2.faceIJ(lat, lng)._1
+    }).distinct
+    assert(faces == Seq(2), s"canvas spans faces $faces")
+  }
+
+  test("S2 envelope cover contains the cell of every interior point") {
+    val (minx, miny, maxx, maxy) = (420000.0, 510000.0, 470000.0, 560000.0)
+    val cover = S2.coverEnvelopeBng(minx, miny, maxx, maxy, 10).toSet
+    assert(cover.nonEmpty && cover.size < 500)
+    (0 until 300).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 131L)
+      val x = minx + java.lang.Long.remainderUnsigned(h, 50000L)
+      val y = miny + java.lang.Long.remainderUnsigned(h >>> 11, 50000L)
+      val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+      val cell = S2.cellId(lat, lng, 10)
+      assert(cover.contains(cell), s"point ($x,$y) cell not covered")
+    }
+  }
+
   // ---------------- H3-style ----------------
 
   test("H3 ids deterministic, res-correct; face stable across res; parent hierarchy sound") {
