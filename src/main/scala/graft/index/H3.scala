@@ -195,6 +195,36 @@ object H3 {
     pack(parentRes, f, qi, ri)
   }
 
+  /** Approximate hex edge length in metres at a resolution (gnomonic
+    * plane units x Earth radius; good to ~2x near face edges).
+    */
+  def edgeMetres(res: Int): Double = resSizes(res) * 6371000.0
+
+  /** Cells at `res` covering a BNG envelope (conservative superset):
+    * sample the envelope at half-edge spacing, take each sample's cell
+    * plus its ring-1 neighbours (closing sampling gaps). Requires the
+    * envelope to stay on one icosahedron face (true for the BNG canvas,
+    * H3S2Spec) — cross-face covers would need seam adjacency.
+    */
+  def coverEnvelopeBng(minx: Double, miny: Double, maxx: Double, maxy: Double,
+      res: Int): Seq[Long] = {
+    val spacing = math.max(100.0, edgeMetres(res) / 2.0)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var x = minx
+    while (x <= maxx + spacing) {
+      var y = miny
+      while (y <= maxy + spacing) {
+        val (lat, lng) = Transform.bngToWgs84Deg(math.min(x, maxx), math.min(y, maxy))
+        val c = cellId(lat, lng, res)
+        out += c
+        ring(c, 1).foreach(out += _)
+        y += spacing
+      }
+      x += spacing
+    }
+    out.toSeq
+  }
+
   /** Hex ring (axial k-ring boundary) around a cell, same face. */
   def ring(id: Long, k: Int): Seq[Long] = {
     val res = resOf(id); val f = faceOfId(id)

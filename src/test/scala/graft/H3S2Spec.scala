@@ -96,6 +96,19 @@ class H3S2Spec extends AnyFunSuite {
     }
   }
 
+  test("H3 envelope cover contains the cell of every interior point") {
+    val (minx, miny, maxx, maxy) = (420000.0, 510000.0, 460000.0, 550000.0)
+    val cover = H3.coverEnvelopeBng(minx, miny, maxx, maxy, 8).toSet
+    assert(cover.nonEmpty && cover.size < 3000, s"cover size ${cover.size}")
+    (0 until 300).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 977L)
+      val x = minx + java.lang.Long.remainderUnsigned(h, 40000L)
+      val y = miny + java.lang.Long.remainderUnsigned(h >>> 11, 40000L)
+      val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+      assert(cover.contains(H3.cellId(lat, lng, 8)), s"point ($x,$y) not covered")
+    }
+  }
+
   // ---------------- H3-style ----------------
 
   test("H3 ids deterministic, res-correct; face stable across res; parent hierarchy sound") {
