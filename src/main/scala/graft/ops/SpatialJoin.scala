@@ -61,6 +61,37 @@ object SpatialJoin {
     refined
   }
 
+  /** Point-in-polygon join keyed by SPHERICAL cells (H3-style or S2)
+    * instead of BNG squares — same filter-refine plan, the cell id comes
+    * from the spherical encoders and the polygon side from envelope
+    * covers. Results are identical to the BNG-keyed join (the refine is
+    * exact either way); the cell system only changes candidate-set size.
+    */
+  def pointInPolygonSpherical(
+      points: DataFrame, x: String, y: String,
+      polygons: DataFrame, geomCol: String,
+      system: String, res: Int,
+      broadcastPolys: Boolean = true): DataFrame = {
+    import graft.index.IndexExpressions._
+    val coverUdf = udf { (wkb: Array[Byte]) =>
+      val env = graft.geo.Wkb.read(wkb).getEnvelopeInternal
+      if (system == "s2")
+        graft.index.S2.coverEnvelopeBng(env.getMinX, env.getMinY,
+          env.getMaxX, env.getMaxY, res)
+      else
+        graft.index.H3.coverEnvelopeBng(env.getMinX, env.getMinY,
+          env.getMaxX, env.getMaxY, res)
+    }
+    val polyCells = polygons.withColumn("__cell__", explode(coverUdf(col(geomCol))))
+    val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells
+    val ptCells = points.withColumn("__cell__",
+      if (system == "s2") s2_index_point(col(x), col(y), res)
+      else h3_index_point(col(x), col(y), res))
+    ptCells.join(polyIndexed, Seq("__cell__"))
+      .filter(st_covers_point(col(geomCol), col(x), col(y)))
+      .drop("__cell__")
+  }
+
   /** Radius (range) join: every (query, point) pair within `radius`
     * metres. Candidates come from the query's cell k-ring (k sized from
     * the radius), so each query probes O(k²) cells instead of the whole

@@ -79,6 +79,23 @@ class SpatialJoinSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast)
   }
 
+  test("H3- and S2-keyed spatial joins return the same pairs as the BNG join") {
+    val ptsDf = pts.toDF("pid", "x", "y")
+    val polyDf = tris.toDF("poly_id", "wkt")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val viaBng = SpatialJoin.pointInPolygon(ptsDf, "x", "y", polyDf, "geometry",
+        resolution = 10000L, predicate = "covers")
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val viaS2 = SpatialJoin.pointInPolygonSpherical(ptsDf, "x", "y",
+        polyDf, "geometry", system = "s2", res = 11)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val viaH3 = SpatialJoin.pointInPolygonSpherical(ptsDf, "x", "y",
+        polyDf, "geometry", system = "h3", res = 7)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(viaS2 == viaBng)
+    assert(viaH3 == viaBng)
+  }
+
   test("spatial join result invariant under input partitioning (north rule)") {
     val polyDf = tris.toDF("poly_id", "wkt")
       .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
