@@ -57,7 +57,9 @@ object SparkEntry {
     "q34_downcast" -> (GraftQueries.q34Downcast _),
     "q35_vectorize" -> (GraftQueries.q35Vectorize _),
     "q36_radius_join" -> (GraftQueries.q36RadiusJoin _),
-    "q37_asof_join" -> (GraftQueries.q37AsOfJoin _)
+    "q37_asof_join" -> (GraftQueries.q37AsOfJoin _),
+    "q38_highcard_codes" -> (GraftQueries.q38HighCardCodes _),
+    "q39_neardup_skew" -> (GraftQueries.q39NearDupSkew _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -92,9 +94,16 @@ object SparkEntry {
     "q34_downcast" -> GraftQueries.q34Sql,
     "q35_vectorize" -> GraftQueries.q35Sql,
     "q36_radius_join" -> GraftQueries.q36Sql,
-    "q37_asof_join" -> GraftQueries.q37Sql
-    // q20-q26: LSH/float-cosine internals are not SQL-expressible —
-    // driver records rows-only; exactness is pinned in ScalaTest against
-    // brute-force oracles instead.
+    "q37_asof_join" -> GraftQueries.q37Sql,
+    "q21_simhash" -> GraftQueries.q21Sql,
+    "q22_ngram_jaccard" -> GraftQueries.q22Sql,
+    "q38_highcard_codes" -> GraftQueries.q38Sql,
+    "q39_neardup_skew" -> GraftQueries.q39Sql
+    // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
+    // internals are not SQL-expressible — driver records rows-only;
+    // exactness is pinned in ScalaTest against brute-force oracles
+    // instead. q21/q22 ARE oracle-checked: the md5-simhash banding is
+    // pigeonhole-exact and the shingle-Jaccard verify is recomputed
+    // relationally with DuckDB list ops.
   )
 }

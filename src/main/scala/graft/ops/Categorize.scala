@@ -54,15 +54,52 @@ object Categorize {
     }
   }
 
-  /** Pure-plan variant: dense codes via window over distinct — no driver
-    * collect at all; stays entirely in Catalyst. Used when the lookup map
-    * itself isn't needed on the driver.
+  /** Distributed dense codes: `(column, codeCol)` rows with codes dense
+    * `0..n-1` in sorted value order — DENSE_RANK semantics — WITHOUT the
+    * single-partition global window that would funnel a high-cardinality
+    * column through one task.
+    *
+    * Two-phase rank:
+    *  1. range-partition the distinct values (partition i holds values
+    *     strictly below partition i+1's), pin the partitioning with an
+    *     eager localCheckpoint (spark_partition_id is only stable against
+    *     a materialized RDD — range-boundary sampling is order-sensitive);
+    *  2. collect the per-partition COUNTS only (<= numPartitions rows, a
+    *     few hundred bytes at any scale), prefix-sum them on the driver;
+    *  3. code = broadcast offset(pid) + partition-local row_number - 1.
+    *
+    * Every shuffle here is distributed (range exchange + per-pid window
+    * hash exchange); no `Exchange SinglePartition` appears in the plan at
+    * any cardinality.
     */
-  def categorizeColumnPlan(df: DataFrame, column: String,
-      codeCol: String): DataFrame = {
-    val codes = df.select(col(column)).na.drop().distinct()
+  def denseCodes(df: DataFrame, column: String, codeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = math.max(1, spark.sparkContext.defaultParallelism)
+    val ranged = df.select(col(column)).na.drop().distinct()
+      .repartitionByRange(nParts, col(column))
+      .withColumn("__pid__", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid__")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val w = Window.partitionBy(col("__pid__")).orderBy(col(column))
+    ranged
       .withColumn(codeCol,
-        (row_number().over(Window.orderBy(col(column))) - 1).cast("long"))
-    df.join(broadcast(codes), Seq(column), "left")
+        (coalesce(element_at(typedLit(offsets), col("__pid__")), lit(0L)) +
+          row_number().over(w) - 1).cast("long"))
+      .drop("__pid__")
+  }
+
+  /** Pure-plan variant: dense codes joined back onto the rows — no
+    * driver-side value collect (only the tiny per-partition counts). The
+    * code dictionary joins back via broadcast when small (`hintBroadcast`);
+    * for genuinely high-cardinality columns pass false and let AQE pick
+    * the join strategy (shuffle join on the column key).
+    */
+  def categorizeColumnPlan(df: DataFrame, column: String, codeCol: String,
+      hintBroadcast: Boolean = true): DataFrame = {
+    val codes = denseCodes(df, column, codeCol)
+    df.join(if (hintBroadcast) broadcast(codes) else codes, Seq(column), "left")
   }
 }

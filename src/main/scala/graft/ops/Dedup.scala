@@ -34,12 +34,32 @@ object Dedup {
   def minhash_sig(text: Column, numHashes: Int, shingleWidth: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(text), numHashes, shingleWidth))
 
+  /** Deterministic per-(band,bucket) membership ceiling: rank bucket
+    * members by id and keep the first `cap`. Guards against boilerplate
+    * mega-clusters (millions of near-identical pages landing in one LSH
+    * bucket) going quadratic in the bucket self-join: pairs per bucket are
+    * bounded by cap^2. Ranking a hot bucket is a single-task O(n log n)
+    * sort — cheap — while the join it guards is O(n^2). Compose with an
+    * exact-dup pre-pass ([[minhashDedupSkewSafe]]) so the cap only ever
+    * drops *distinct-text* collisions, not exact duplicates.
+    */
+  private def capBuckets(banded: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band__"), col("__bucket__")).orderBy(col("__id__"))
+      banded.withColumn("__rk__", row_number().over(w))
+        .filter(col("__rk__") <= cap).drop("__rk__")
+    }
+
   /** LSH candidate pairs: band the signature, bucket-join, dedupe.
     * Bands x rowsPerBand must equal numHashes. Returns (a, b) id pairs
     * with a < b plus the estimated Jaccard (signature agreement rate).
+    * `bucketCap` > 0 bounds bucket membership (see [[capBuckets]]).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, shingleWidth: Int = 3, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, shingleWidth: Int = 3, bands: Int = 16,
+      bucketCap: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("__id__"),
@@ -47,8 +67,8 @@ object Dedup {
     // One row per band: bucket key = hash of the band's signature slice.
     val bandKeys = array((0 until bands).map(b =>
       hash(slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-    val banded = sigs.select(col("__id__"), col("__sig__"),
-      posexplode(bandKeys).as(Seq("__band__", "__bucket__")))
+    val banded = capBuckets(sigs.select(col("__id__"), col("__sig__"),
+      posexplode(bandKeys).as(Seq("__band__", "__bucket__"))), bucketCap)
     val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
       col("__band__"), col("__bucket__"))
     val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
@@ -68,8 +88,9 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, shingleWidth: Int = 3,
-      bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+      bands: Int = 16, bucketCap: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth,
+      bands, bucketCap)
     val texts = df.select(col(idCol), col(textCol))
     val withTexts = cands
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta__")), Seq("a"))
@@ -85,34 +106,82 @@ object Dedup {
     Bridge.column(JaccardShingles(
       Bridge.expression(a), Bridge.expression(b), Bridge.expression(w)))
 
+  /** Boilerplate-skew-safe near-dup pipeline for web corpora where
+    * millions of pages share identical or near-identical text:
+    *  1. exact-dup pre-pass — ONE hash shuffle collapses every identical
+    *     text to its min-id representative (the planted 10k-copy cluster
+    *     becomes one row, not 10k^2/2 pairs);
+    *  2. LSH near-dup over representatives only, with a per-bucket
+    *     membership ceiling bounding any residual hot bucket at cap^2
+    *     pairs.
+    * Returns near-dup pairs (a, b, jaccard) among representatives.
+    */
+  def minhashDedupSkewSafe(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, shingleWidth: Int = 3,
+      bands: Int = 16, bucketCap: Int = 64): DataFrame = {
+    val reps = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    minhashDedup(reps, idCol, textCol, threshold, numHashes, shingleWidth,
+      bands, bucketCap)
+  }
+
   // ---------------- SimHash -------------------------------------------
 
   def simhash64(text: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(text)))
 
-  /** SimHash near-dup candidates: 64-bit simhash, banded into 4 x 16-bit
-    * chunks (two docs within Hamming distance 3 share at least one exact
-    * chunk — pigeonhole), verified by exact Hamming distance.
+  /** Oracle-computable simhash variant: 60-bit simhash whose per-token
+    * hash is the first 15 hex chars of md5(token) — both halves (md5 and
+    * the bit-vote fold) are recomputable in ANSI SQL, so the whole
+    * pairs+Hamming pipeline gets an exact DuckDB oracle. [[simhash64]]
+    * (splitmix over tokens, no digest) stays the fast production kernel;
+    * this one exists so the operator is end-to-end oracle-checked.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = 4
-    val sigs = df.select(col(idCol).as("__id__"), simhash64(col(textCol)).as("__sh__"))
+  def simhash_md5_60(text: Column): Column =
+    Bridge.column(SimHashMd5(Bridge.expression(text)))
+
+  /** SimHash near-dup candidates over an arbitrary signature column:
+    * `bits`-bit simhash banded into `chunks` equal chunks. Pigeonhole: two
+    * docs within Hamming distance `chunks - 1` share at least one exact
+    * chunk, so for maxHamming <= chunks - 1 the result is EXACTLY the
+    * all-pairs Hamming join — candidate generation loses nothing.
+    * Returns (a, b, sha, shb, hamming); `bucketCap` > 0 bounds bucket
+    * membership (deterministic by id) against mega-cluster skew.
+    */
+  def simhashPairsSig(df: DataFrame, idCol: String, sig: Column,
+      bits: Int = 64, chunks: Int = 4, maxHamming: Int = 3,
+      bucketCap: Int = 0): DataFrame = {
+    require(bits % chunks == 0, "chunks must divide bits")
+    val w = bits / chunks
+    val mask = (1L << w) - 1L
+    val sigs = df.select(col(idCol).as("__id__"), sig.as("__sh__"))
     val chunkKeys = array((0 until chunks).map(c =>
-      shiftrightunsigned(col("__sh__"), c * 16).bitwiseAND(lit(0xffffL))): _*)
-    val banded = sigs.select(col("__id__"), col("__sh__"),
-      posexplode(chunkKeys).as(Seq("__chunk__", "__key__")))
+      shiftrightunsigned(col("__sh__"), c * w).bitwiseAND(lit(mask))): _*)
+    val banded = capBuckets(
+      sigs.select(col("__id__"), col("__sh__"),
+          posexplode(chunkKeys).as(Seq("__band__", "__bucket__"))),
+      bucketCap)
     val l = banded.select(col("__id__").as("a"), col("__sh__").as("sha"),
-      col("__chunk__"), col("__key__"))
+      col("__band__"), col("__bucket__"))
     val r = banded.select(col("__id__").as("b"), col("__sh__").as("shb"),
-      col("__chunk__"), col("__key__"))
-    l.join(r, Seq("__chunk__", "__key__"))
+      col("__band__"), col("__bucket__"))
+    l.join(r, Seq("__band__", "__bucket__"))
       .filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b"), col("sha"), col("shb"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs (production kernel: 64-bit splitmix simhash,
+    * 4 x 16-bit chunks).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 0): DataFrame =
+    simhashPairsSig(df, idCol, simhash64(col(textCol)),
+      bits = 64, chunks = 4, maxHamming = maxHamming, bucketCap = bucketCap)
+      .select(col("a"), col("b"), col("hamming"))
 
   // ---------------- embedding near-dup (cosine LSH) ---------------------
 
@@ -208,6 +277,46 @@ case class SimHash64(child: Expression)
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text -> 60-bit SimHash where each token's hash is the first 15 hex
+  * chars of md5(lower-cased token stream), so a SQL oracle can recompute
+  * the signature exactly: DuckDB
+  * `CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)` produces the same
+  * per-token hash, and the bit-vote fold is a 60-way SUM(CASE). 60 bits
+  * (not 64) keeps every intermediate inside signed-BIGINT range in both
+  * engines. ASCII input assumed for lower() parity (the web-text tables
+  * are ASCII; Unicode case-folding differs between JVM and DuckDB).
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = TextAnalysis.tokenize(
+      v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = high 60 bits of the first 8 digest bytes
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -24,6 +24,25 @@ object GraftQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+
+  /** Per-(session, query) scratch store root: fixed path, wiped before
+    * reuse — repeated Verify/Bench runs in one JVM don\'t accumulate a
+    * temp dir per invocation, and the query stays re-runnable.
+    */
+  private def scratchStore(spark: SparkSession, tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-store-${spark.sparkContext.applicationId}")
+    def wipe(x: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(x))
+        java.nio.file.Files.list(x).iterator().asScala.toSeq.foreach(wipe)
+      java.nio.file.Files.deleteIfExists(x)
+    }
+    wipe(p)
+    p.toString
+  }
+
   /** Deterministic point geocode of documents (shared with oracle SQL). */
   def docPoints(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -142,11 +161,11 @@ object GraftQueries {
   // Categorize / lookup join (reference §2.6: A2 + J2)
   // ------------------------------------------------------------------
 
-  /** A2: dense code assignment, deterministic sorted order. */
+  /** A2: dense code assignment, deterministic sorted order — distributed
+    * two-phase rank (no single-partition window at any cardinality).
+    */
   def q6Categorize(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(col("lang")).distinct()
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("lang"))) - 1).cast("long"))
+    Categorize.denseCodes(t(spark, dir, "documents"), "lang", "code")
 
   val q6Sql: String =
     """SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
@@ -463,8 +482,8 @@ object GraftQueries {
 
   val q18Sql: String =
     """SELECT c_mktsegment,
-      |  COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS n_with,
-      |  COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS n_without
+      |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with,
+      |  CAST(COALESCE(SUM(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without
       |FROM (
       |  SELECT c_mktsegment,
       |         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
@@ -500,13 +519,73 @@ object GraftQueries {
       "doc_id", "text", numHashes = 64, shingleWidth = 3, bands = 16)
       .filter(col("est_jaccard") >= 0.5)
 
-  def q21Simhash(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.simhashPairs(t(spark, dir, "documents"),
-      "doc_id", "text", maxHamming = 3)
+  /** SimHash near-dup pairs, end-to-end oracle-checked: the 60-bit
+    * md5-token simhash is recomputable in SQL, and the 4x15-bit banding is
+    * EXACT for Hamming <= 3 (pigeonhole), so the LSH output equals the
+    * all-pairs Hamming join the oracle computes.
+    */
+  def q21Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Dedup.simhashPairsSig(docs, "doc_id",
+        graft.ops.Dedup.simhash_md5_60(col("text")),
+        bits = 60, chunks = 4, maxHamming = 3)
+      .select(col("a"), col("b"), col("sha"), col("shb"),
+        col("hamming").cast("long").as("hamming"))
+  }
 
+  val q21Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text),
+      |                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      |  FROM th, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END)
+      |              AS BIGINT) AS s
+      |  FROM bits GROUP BY 1)
+      |SELECT x.doc_id AS a, y.doc_id AS b, x.s AS sha, y.s AS shb,
+      |       CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+      |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.s, y.s)) <= 3""".stripMargin
+
+  /** Exact word-3-shingle Jaccard near-dups (LSH-accelerated; the oracle
+    * recomputes all pairs relationally with DuckDB list ops). jaccard is
+    * emitted in integer ppm — identical IEEE division then identical
+    * floor in both engines.
+    */
   def q22NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minhashDedup(t(spark, dir, "documents"),
-      "doc_id", "text", threshold = 0.8)
+        "doc_id", "text", threshold = 0.8)
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("jaccard_ppm"))
+
+  val q22Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |               regexp_extract_all(lower(text),
+      |                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS ws
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+      |         CAST(len(x.s) + len(y.s) AS DOUBLE) AS tot
+      |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+      |SELECT a, b,
+      |       CAST(FLOOR(1000000.0 * (inter / (tot - inter)) + 0.5) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM pairs WHERE inter / (tot - inter) >= 0.8""".stripMargin
 
   /** Embedding near-dup: the shared embeddings table has no natural
     * high-cosine pairs (max ~0.48), so plant perturbed copies of the
@@ -619,7 +698,7 @@ object GraftQueries {
     val pts = Categorize.categorizeColumnPlan(docPoints(spark, dir), "lang", "lang_code")
       .withColumn("geometry",
         st_point(col("x").cast("double"), col("y").cast("double")))
-    val path = java.nio.file.Files.createTempDirectory("graft-q31-store").toString
+    val path = scratchStore(spark, "q31")
     graft.raster.RasterPipeline.toTileStore(
         pts, "geometry", Seq("lang_code"), path,
         cellSize = 10000, tileSize = 100000, overwrite = true)
@@ -698,7 +777,7 @@ object GraftQueries {
   def q35Vectorize(spark: SparkSession, dir: String): DataFrame = {
     val pts = docPoints(spark, dir).withColumn("geometry",
       st_point(col("x").cast("double"), col("y").cast("double")))
-    val path = java.nio.file.Files.createTempDirectory("graft-q35-store").toString
+    val path = scratchStore(spark, "q35")
     graft.raster.RasterPipeline.toTileStore(pts, "geometry", Seq.empty, path,
       cellSize = 10000, tileSize = 100000, overwrite = true)
     graft.raster.RasterPipeline.fromTileStore(spark, path, "mask")
@@ -782,4 +861,71 @@ object GraftQueries {
       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
       |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Round 2: high-cardinality categorize + skew-safe near-dup
+  // ------------------------------------------------------------------
+
+  /** High-cardinality categorize: dense codes over `documents.text`
+    * (unique per row — the worst case for the old single-partition
+    * window). Runs the distributed two-phase rank; the code dictionary
+    * joins back WITHOUT a broadcast hint (at 10^12 distinct keys the
+    * dictionary must shuffle-join — AQE picks the strategy).
+    */
+  def q38HighCardCodes(spark: SparkSession, dir: String): DataFrame =
+    Categorize.categorizeColumnPlan(t(spark, dir, "documents"), "text",
+        "text_code", hintBroadcast = false)
+      .select(col("doc_id"), col("text_code"))
+
+  val q38Sql: String =
+    """SELECT doc_id,
+      |       CAST(DENSE_RANK() OVER (ORDER BY text) - 1 AS BIGINT) AS text_code
+      |FROM documents""".stripMargin
+
+  /** Boilerplate-skew near-dup: plant a 200-copy boilerplate cluster on
+    * top of the documents table, then run the skew-safe pipeline — exact
+    * pre-pass collapses the cluster to one representative, the bucket cap
+    * bounds residual hot buckets. The oracle recomputes representatives +
+    * all-pairs exact Jaccard relationally.
+    */
+  def q39NearDupSkew(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val boiler = docs.orderBy(col("doc_id")).limit(1).select(col("text"))
+    val planted = boiler.crossJoin(
+        spark.range(200).select((col("id") + 1000000L).as("doc_id")))
+      .select(col("doc_id"), col("text"))
+    graft.ops.Dedup.minhashDedupSkewSafe(docs.unionByName(planted),
+        "doc_id", "text", threshold = 0.8, bucketCap = 64)
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("jaccard_ppm"))
+  }
+
+  val q39Sql: String =
+    """WITH boiler AS (SELECT text FROM documents ORDER BY doc_id LIMIT 1),
+      |planted AS (
+      |  SELECT 1000000 + CAST(i AS BIGINT) AS doc_id,
+      |         (SELECT text FROM boiler) AS text
+      |  FROM (SELECT unnest(range(200)) AS i)),
+      |alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM planted),
+      |reps AS (SELECT MIN(doc_id) AS doc_id, text FROM alldocs GROUP BY text),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |               regexp_extract_all(lower(text),
+      |                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS ws
+      |        FROM reps)),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+      |         CAST(len(x.s) + len(y.s) AS DOUBLE) AS tot
+      |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+      |SELECT a, b,
+      |       CAST(FLOOR(1000000.0 * (inter / (tot - inter)) + 0.5) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM pairs WHERE inter / (tot - inter) >= 0.8""".stripMargin
 }

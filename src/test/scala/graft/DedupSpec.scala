@@ -118,6 +118,62 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(cos(all(a), all(b)) >= 0.99) }
   }
 
+  test("skew-safe near-dup: planted 10k-identical cluster stays linear, recall survives the cap") {
+    // A boilerplate mega-cluster: 10,000 copies of one page on top of the
+    // normal corpus. Uncapped LSH would self-join the cluster's bucket
+    // into ~5*10^7 pairs; the exact pre-pass collapses it to ONE
+    // representative, and the bucket cap bounds anything residual.
+    val boiler = corpus.head._2
+    val cluster = (0L until 10000L).map(j => (10000L + j, boiler))
+    val df = (corpus ++ cluster).toDF("doc_id", "text").repartition(32)
+    val got = Dedup.minhashDedupSkewSafe(df, "doc_id", "text",
+        threshold = 0.6, bucketCap = 16)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    // Linearity: output pairs bounded by the distinct-text pair count —
+    // nothing quadratic in the cluster size leaked through.
+    assert(got.length < 200, s"cluster went quadratic: ${got.length} pairs")
+    // Soundness under the cap: every pair is truly over threshold.
+    val oracle = bruteJaccard(3)
+    got.foreach { case (a, b, j) =>
+      assert(math.abs(oracle((a, b)) - j) < 1e-12 && j >= 0.6)
+    }
+    // Recall under the cap: representatives are min-id per text, so the
+    // planted near-dup pairs (base j, 200+j) must still surface.
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val planted = (0L until 30L).map(j => (j, 200L + j))
+      .filter { case (a, b) => oracle((a, b)) >= 0.6 }
+    planted.foreach(p => assert(gotPairs.contains(p), s"cap dropped true pair $p"))
+  }
+
+  test("bucket cap bounds candidate fan-out deterministically") {
+    // All docs identical => every (band,bucket) holds all ids; with cap c
+    // the candidate pairs per band are exactly c*(c-1)/2 over the SAME
+    // (lowest) ids at any parallelism.
+    val df = (0L until 500L).map(i => (i, "same text every time"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text", bucketCap = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cands == (for { a <- 0L until 8L; b <- 0L until 8L if a < b }
+      yield (a, b)).toSet)
+  }
+
+  test("md5-simhash banding is pigeonhole-exact (equals all-pairs Hamming join)") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.simhashPairsSig(df, "doc_id",
+        Dedup.simhash_md5_60(col("text")), bits = 60, chunks = 4, maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    def sig(t: String): Long =
+      graft.ops.SimHashMd5(org.apache.spark.sql.catalyst.expressions.Literal(t))
+        .eval(null).asInstanceOf[Long]
+    val sigOf = corpus.map { case (id, t) => id -> sig(t) }.toMap
+    val allPairs = (for {
+      (ida, _) <- corpus; (idb, _) <- corpus if ida < idb
+      h = java.lang.Long.bitCount(sigOf(ida) ^ sigOf(idb)) if h <= 3
+    } yield (ida, idb, h)).toSet
+    assert(got.toSet == allPairs)
+    assert(allPairs.nonEmpty, "fixture degenerate: no close simhash pairs")
+  }
+
   test("exact dedup groups identical content") {
     val df = corpus.toDF("doc_id", "text")
     val got = Dedup.exact(df, "text", "doc_id")

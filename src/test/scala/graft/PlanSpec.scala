@@ -45,6 +45,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("categorize paths never funnel through a single partition") {
+    // The old global Window.orderBy code assignment moved every distinct
+    // value to ONE task ('Exchange SinglePartition' in the plan) — a
+    // scale-killer for high-cardinality columns. The two-phase rank keeps
+    // every exchange distributed; gate all plans that embed categorize.
+    Seq("q6_categorize", "q7_lookup_join", "q38_highcard_codes").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnels through a single partition:\n${p.take(3000)}")
+    }
+  }
+
+  test("q38 high-cardinality codes: two-phase rank gives DENSE_RANK result") {
+    // 500 distinct texts at sf0.001^ scale spread over 32 range partitions;
+    // codes must still be dense 0..n-1 in global sorted order.
+    val df = SparkEntry.queries("q38_highcard_codes")(spark, sf0)
+    val codes = df.select("text_code").collect().map(_.getLong(0)).sorted
+    assert(codes.head == 0L && codes.last == codes.length - 1L &&
+      codes.distinct.length == codes.length)
+  }
+
   test("whole-stage codegen present in the agg pipeline") {
     val df = SparkEntry.queries("q1_agg")(spark, sf0)
     df.collect() // force AQE to finalize the plan
