@@ -39,7 +39,6 @@ object Constants {
     "uint16" -> 65535d,
     "uint32" -> 4294967295d,
     "uint64" -> Long.MaxValue.toDouble, // 2^64-1 unrepresentable; widest signed max
-    "int8" -> 127d,
     "int16" -> 32767d,
     "int32" -> 2147483647d,
     "int64" -> Long.MaxValue.toDouble,
@@ -47,17 +46,25 @@ object Constants {
     "float64" -> Double.NaN
   )
 
-  /** Dtype widening order (reference constants.py:33-46). */
+  /** Dtype widening order — EXACTLY the reference's `dtype_nodata_value`
+    * dict order (`_dataframe.py:207-220`): no int8 (commented out there),
+    * intN before uintN at each width. The `_next_dtype` collision walk
+    * steps through this sequence, so sentinel collisions resolve to the
+    * same (dtype, nodata) the reference picks — e.g. data [0, 255] widens
+    * to (int16, 32767), not (uint16, 65535). One documented deviation:
+    * we additionally require the candidate's RANGE to hold the data, so
+    * pathological inputs (e.g. negative min with max above 2^15) never
+    * land in an unsigned dtype the way the reference's literal chain can.
+    */
   val DtypeOrder: Seq[String] = Seq(
-    "uint8", "int8", "uint16", "int16", "uint32", "int32",
-    "uint64", "int64", "float32", "float64")
+    "uint8", "int16", "uint16", "int32", "uint32",
+    "int64", "uint64", "float32", "float64")
 
   /** Dtype value ranges for the minimum-dtype ladder
     * (reference `_dataframe.py:227-268`).
     */
   val DtypeRange: Map[String, (Double, Double)] = Map(
     "uint8" -> (0d, 255d),
-    "int8" -> (-128d, 127d),
     "uint16" -> (0d, 65535d),
     "int16" -> (-32768d, 32767d),
     "uint32" -> (0d, 4294967295d),

@@ -208,7 +208,21 @@ object H3 {
     */
   def coverEnvelopeBng(minx: Double, miny: Double, maxx: Double, maxy: Double,
       res: Int): Seq[Long] = {
-    val spacing = math.max(100.0, edgeMetres(res) / 2.0)
+    val edge = edgeMetres(res)
+    // Sample at half-edge spacing; for envelopes huge relative to the cell
+    // (fine res over big boxes) cap the samples per axis and widen the
+    // closure disk instead — no fixed metre floor, so no silent escape of
+    // cells between samples at any res. Total work tracks the true cell
+    // count of the envelope either way (disk area ~ k^2 compensates the
+    // coarser sampling exactly).
+    val maxPerAxis = 128.0
+    val span = math.max(maxx - minx, maxy - miny)
+    val spacing = math.max(edge / 2.0, span / maxPerAxis)
+    // Worst-case planar distance from any envelope point to a sample is
+    // the grid half-diagonal; convert to hex steps (neighbour centers are
+    // sqrt(3)*edge apart) with 2x headroom for gnomonic distortion.
+    val halfDiag = spacing * 0.7072
+    val k = math.max(1, math.ceil(2.0 * halfDiag / (math.sqrt(3.0) * edge)).toInt)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var x = minx
     while (x <= maxx + spacing) {
@@ -217,7 +231,8 @@ object H3 {
         val (lat, lng) = Transform.bngToWgs84Deg(math.min(x, maxx), math.min(y, maxy))
         val c = cellId(lat, lng, res)
         out += c
-        ring(c, 1).foreach(out += _)
+        var rr = 1
+        while (rr <= k) { ring(c, rr).foreach(out += _); rr += 1 }
         y += spacing
       }
       x += spacing

@@ -15,9 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `how` semantics follow the reference docs (`__init__.py:281-288`):
   *  - "bounding box": all cells covering the geometry's envelope;
-  *  - "intersects" (default): cells the geometry actually intersects;
-  *  - "contains": cells wholly contained in the geometry.
-  * For points all three collapse to the single containing cell — the hot
+  *  - "intersects" (default): cells the geometry intersects,
+  *    touch-INCLUSIVE like the reference's shapely predicate — required
+  *    for join candidate generation (see [[BngIndexExpr]]);
+  *  - "interior": touch-EXCLUSIVE variant for rasterize tile assignment;
+  *  - "contains": cells wholly contained in the geometry (the reference's
+  *    intersects+flag shape is [[bng_index_flags]]).
+  * For points all modes collapse to the single containing cell — the hot
   * path allocates one candidate and skips JTS entirely.
   */
 object IndexExpressions {
@@ -37,6 +41,14 @@ object IndexExpressions {
     */
   def bng_index_ids(geom: Column, resolution: Long, how: String = "intersects"): Column =
     toCol(BngIndexIdsExpr(expr(geom), resolution, how))
+
+  /** Reference-parity 'contains' shape (`__init__.py:281-288`): every
+    * intersecting cell plus a per-cell boolean — true when the polygon
+    * wholly contains the cell, false when it merely intersects it.
+    * Array of struct<ref: string, contained: boolean>.
+    */
+  def bng_index_flags(geom: Column, resolution: Long): Column =
+    toCol(BngIndexFlagsExpr(expr(geom), resolution))
 
   def bng_cell_id(x: Column, y: Column, resolution: Long): Column =
     toCol(BngCellId(expr(x), expr(y), resolution))
@@ -106,10 +118,29 @@ case class SphericalCellId(left: Expression, right: Expression, res: Int,
     copy(left = l, right = r)
 }
 
-/** WKB geometry -> Array[String] of BNG grid refs at `resolution`. */
+/** WKB geometry -> Array[String] of BNG grid refs at `resolution`.
+  *
+  * Cells are half-open squares `[k*res, (k+1)*res)` — the same floor
+  * mapping the point encoders use — so the join invariant holds for every
+  * `how != "contains"` mode: for EVERY point p of the geometry (boundary
+  * included), `cell(p)` is in the output. `how` modes:
+  *  - "bounding box": every cell whose floor-range overlaps the envelope;
+  *  - "intersects" (default, reference shapely parity
+  *    `__init__.py:281-288`): touch-INCLUSIVE JTS intersects — a cell the
+  *    geometry only meets on a shared grid line stays in, because a point
+  *    lying exactly on that line floor-maps to it. Use for join candidate
+  *    generation.
+  *  - "interior": touch-EXCLUSIVE (intersects && !touches) — for
+  *    rasterize tile assignment, where center-sampling can never burn a
+  *    cell of a touch-only tile and the inclusive variant would multiply
+  *    shuffle volume ~4x for grid-aligned data at 10^12 rows.
+  *  - "contains": cells wholly contained in the geometry (documented
+  *    deviation: the reference's 'contains' returns intersecting cells +
+  *    a containment FLAG — that shape is [[BngIndexFlagsExpr]]).
+  */
 case class BngIndexExpr(child: Expression, resolution: Long, how: String)
     extends UnaryExpression with CodegenFallback {
-  require(Set("intersects", "bounding box", "contains").contains(how),
+  require(Set("intersects", "interior", "bounding box", "contains").contains(how),
     s"unknown how='$how'")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -133,13 +164,11 @@ case class BngIndexExpr(child: Expression, resolution: Long, how: String)
         candidates.filter { ref =>
           val (minx, miny, maxx, maxy) = Bng.bounds(ref)
           val cell = Wkb.box(minx, miny, maxx, maxy)
-          // "intersects" excludes boundary-only touches: an edge-aligned
-          // geometry must not fan out into neighbouring tiles it cannot
-          // burn a single cell of (center sampling) — at 10^12 rows the
-          // touch-inclusive variant multiplies shuffle volume ~4x for
-          // grid-aligned data.
-          if (how == "contains") pg.contains(cell)
-          else pg.intersects(cell) && !pg.touches(cell)
+          how match {
+            case "contains" => pg.contains(cell)
+            case "interior" => pg.intersects(cell) && !pg.touches(cell)
+            case _          => pg.intersects(cell)
+          }
         }
       }
     refs
@@ -156,7 +185,7 @@ case class BngIndexExpr(child: Expression, resolution: Long, how: String)
   */
 case class BngIndexIdsExpr(child: Expression, resolution: Long, how: String)
     extends UnaryExpression with CodegenFallback {
-  require(Set("intersects", "bounding box", "contains").contains(how),
+  require(Set("intersects", "interior", "bounding box", "contains").contains(how),
     s"unknown how='$how'")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -165,6 +194,35 @@ case class BngIndexIdsExpr(child: Expression, resolution: Long, how: String)
     new GenericArrayData(refs.map { ref =>
       val (e, n, res) = Bng.parse(ref)
       Bng.cellId(e.toDouble, n.toDouble, res)
+    }.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** WKB geometry -> Array[Struct(ref, contained)]: the reference's
+  * documented 'contains' output shape (`__init__.py:281-288`) — every
+  * intersecting cell (touch-inclusive, same candidates as
+  * how="intersects") with a flag marking whether the geometry wholly
+  * contains that cell.
+  */
+case class BngIndexFlagsExpr(child: Expression, resolution: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ref", StringType, nullable = false),
+      StructField("contained", BooleanType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val refs = BngIndexExpr(child, resolution, "intersects").refsOf(v)
+    val g = Wkb.read(v.asInstanceOf[Array[Byte]])
+    val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+    new GenericArrayData(refs.map { ref =>
+      val (minx, miny, maxx, maxy) = Bng.bounds(ref)
+      val contained = pg.contains(Wkb.box(minx, miny, maxx, maxy))
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(ref), contained)
     }.toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -141,28 +141,52 @@ object S2 {
     *
     * Valid because the BNG canvas lies entirely on one S2 face (face 2,
     * verified in H3S2Spec), where the (i, j) leaf grid is a plain square
-    * grid: sample the envelope's corners + edge midpoints, take the ij
-    * bounding box, pad one cell for curvature. Cross-face envelopes are
-    * rejected (would need S2's face-adjacency tables).
+    * grid. The image of the rectangle under TM-inverse + ST projection is
+    * curved, and its ij extrema lie on the boundary — so sample the
+    * boundary adaptively, DOUBLING the per-edge density until the ij
+    * bounding box stops moving (the sagitta between adjacent samples is
+    * then sub-converged), and pad one cover cell for the residue. A fixed
+    * 3x3 sample under-covered large envelopes at fine levels, where the
+    * curvature between corner samples exceeds a cell. Cross-face
+    * envelopes are rejected (would need S2's face-adjacency tables).
     */
   def coverEnvelopeBng(minx: Double, miny: Double, maxx: Double, maxy: Double,
       level: Int): Seq[Long] = {
-    val samples = for {
-      x <- Seq(minx, (minx + maxx) / 2, maxx)
-      y <- Seq(miny, (miny + maxy) / 2, maxy)
-    } yield {
-      val (lat, lng) = Transform.bngToWgs84Deg(x, y)
-      faceIJ(lat, lng)
+    def boundarySamples(nPerEdge: Int): Seq[(Int, Int, Int)] = {
+      val ts = (0 to nPerEdge).map(_.toDouble / nPerEdge)
+      val pts =
+        ts.map(t => (minx + t * (maxx - minx), miny)) ++
+        ts.map(t => (minx + t * (maxx - minx), maxy)) ++
+        ts.map(t => (minx, miny + t * (maxy - miny))) ++
+        ts.map(t => (maxx, miny + t * (maxy - miny)))
+      pts.map { case (x, y) =>
+        val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+        faceIJ(lat, lng)
+      }
+    }
+    def bounds(s: Seq[(Int, Int, Int)]): (Int, Int, Int, Int) =
+      (s.map(_._2).min, s.map(_._2).max, s.map(_._3).min, s.map(_._3).max)
+    var n = 2
+    var samples = boundarySamples(n)
+    var b = bounds(samples)
+    var converged = false
+    while (!converged && n < 1024) {
+      n *= 2
+      val next = boundarySamples(n)
+      val nb = bounds(next)
+      converged = nb == b
+      samples = next
+      b = nb
     }
     val faces = samples.map(_._1).distinct
     require(faces.size == 1,
       s"envelope spans S2 faces $faces — cross-face covers unsupported")
     val face = faces.head
     val step = 1 << (MaxLevel - level)
-    val iMin = math.max(0, (samples.map(_._2).min & -step) - step)
-    val iMax = math.min((1 << MaxLevel) - 1, samples.map(_._2).max + step)
-    val jMin = math.max(0, (samples.map(_._3).min & -step) - step)
-    val jMax = math.min((1 << MaxLevel) - 1, samples.map(_._3).max + step)
+    val iMin = math.max(0, (b._1 & -step) - step)
+    val iMax = math.min((1 << MaxLevel) - 1, b._2 + step)
+    val jMin = math.max(0, (b._3 & -step) - step)
+    val jMax = math.min((1 << MaxLevel) - 1, b._4 + step)
     val out = Seq.newBuilder[Long]
     var i = iMin & -step
     while (i <= iMax) {

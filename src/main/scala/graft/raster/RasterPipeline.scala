@@ -93,7 +93,7 @@ object RasterPipeline {
       if (maskMode) Seq(lit(1.0))
       else specs.map(s => coalesce(col(s.name).cast("double"), lit(s.nodata)))
     val preparedAll = df.select(
-        explode(bng_index(col(geometryCol), tileSize.toLong, "intersects")).as("__tile"),
+        explode(bng_index(col(geometryCol), tileSize.toLong, "interior")).as("__tile"),
         col(geometryCol).as("__geom"),
         array(valueCols: _*).as("__vals"))
     val prepared = (if (doneTiles.isEmpty) preparedAll
@@ -172,8 +172,12 @@ object RasterPipeline {
     val cellSize = h.cellSize
     val dtype = spec.dtype
     val nodata = spec.nodata
+    // One task per tile up to the cluster's parallelism — a fixed cap
+    // would serialize a full 10 m national canvas (13k tiles) onto 64
+    // cores no matter the cluster size.
     spark.createDataset(tiles)
-      .repartition(math.min(tiles.size, 64))
+      .repartition(math.max(1,
+        math.min(tiles.size, spark.sparkContext.defaultParallelism)))
       .flatMap { ref =>
         val st = new TileStore(path)
         val data = st.readRegion(ref, column, dtype)
@@ -212,7 +216,8 @@ object RasterPipeline {
     val specs = h.columns
     val tiles = src.tiles()
     spark.createDataset(tiles)
-      .repartition(math.min(math.max(tiles.size, 1), 64))
+      .repartition(math.max(1,
+        math.min(tiles.size, spark.sparkContext.defaultParallelism)))
       .foreach { ref =>
         val s = new TileStore(srcPath)
         val d = new TileStore(dstPath)
@@ -260,7 +265,7 @@ object RasterPipeline {
     val tileCells = math.round(tileSize / cellSize).toInt
 
     val rows = df.select(
-      explode(bng_index(col(geometryCol), tileSize.toLong, "intersects")).as("__tile"),
+      explode(bng_index(col(geometryCol), tileSize.toLong, "interior")).as("__tile"),
       col(geometryCol).as("__g"),
       col(orderCol).cast("long").as("__ord"),
       col(valueCol).cast("double").as("__v"))
@@ -288,7 +293,9 @@ object RasterPipeline {
         parts.foreach { case (_, pd, po) =>
           var i = 0
           while (i < data.length) {
-            if (po(i) > ord(i)) { ord(i) = po(i); data(i) = pd(i) }
+            if (Rasterize.ordWins(po(i), pd(i), ord(i), data(i))) {
+              ord(i) = po(i); data(i) = pd(i)
+            }
             i += 1
           }
         }
@@ -341,7 +348,9 @@ object RasterPipeline {
           val c = grid.colOf(x); val r = grid.rowOf(y)
           if (c >= 0 && r >= 0) {
             val idx = grid.idx(r, c)
-            if (o > ord(idx)) { ord(idx) = o; grid.data(idx) = v }
+            if (Rasterize.ordWins(o, v, ord(idx), grid.data(idx))) {
+              ord(idx) = o; grid.data(idx) = v
+            }
           }
         }
         (tile, grid.data.toSeq, ord.toSeq)
@@ -356,7 +365,9 @@ object RasterPipeline {
         parts.foreach { case (_, pd, po) =>
           var i = 0
           while (i < data.length) {
-            if (po(i) > ord(i)) { ord(i) = po(i); data(i) = pd(i) }
+            if (Rasterize.ordWins(po(i), pd(i), ord(i), data(i))) {
+              ord(i) = po(i); data(i) = pd(i)
+            }
             i += 1
           }
         }

@@ -155,11 +155,22 @@ object Rasterize {
     }
   }
 
-  /** Order-aware burn for salted/parallel partial grids: a cell is
-    * written only when `ord` is >= the order that last wrote it, so
-    * merging partial grids by per-cell max order reproduces the exact
-    * sequential last-write-wins result regardless of how rows were split
-    * across salted tasks.
+  /** Order-aware write decision, shared by every ordered-burn site (the
+    * geometry burn, the point burn, and the cross-partial merge): the
+    * winning row per cell is the LEXICOGRAPHIC MAX of (ord, value). With
+    * unique order values this is exactly sequential last-write-wins; with
+    * duplicated orders the value tie-break keeps the result deterministic
+    * at ANY partitioning (a bare >= or > would let the nondeterministic
+    * task/iterator order pick the winner). `ord` must be > Long.MinValue
+    * (the empty-cell sentinel).
+    */
+  @inline def ordWins(ord: Long, value: Double, curOrd: Long, curValue: Double): Boolean =
+    ord > curOrd || (ord == curOrd && value > curValue)
+
+  /** Order-aware burn for salted/parallel partial grids: merging partial
+    * grids by per-cell (ord, value) max reproduces the exact sequential
+    * last-write-wins result regardless of how rows were split across
+    * salted tasks (see [[ordWins]] for the duplicate-order tie-break).
     */
   def burnGeometryOrdered(grid: TileGrid, ordGrid: Array[Long],
       geom: Geometry, value: Double, ord: Long): Unit = {
@@ -170,7 +181,7 @@ object Rasterize {
     burnGeometry(marker, geom, 1d)
     var i = 0
     while (i < marker.data.length) {
-      if (marker.data(i) == 1d && ord >= ordGrid(i)) {
+      if (marker.data(i) == 1d && ordWins(ord, value, ordGrid(i), grid.data(i))) {
         ordGrid(i) = ord
         grid.data(i) = value
       }

@@ -109,6 +109,42 @@ class H3S2Spec extends AnyFunSuite {
     }
   }
 
+  test("S2 cover containment holds at fine levels / large envelopes") {
+    // level 16 (cell ~150 m) over a 40 km box: the old fixed 3x3 sample's
+    // curvature residue exceeded one cell here.
+    for ((size, level, maxCover) <- Seq((40000.0, 16, 200000), (500.0, 20, 5000))) {
+      val (minx, miny) = (420000.0, 510000.0)
+      val cover = S2.coverEnvelopeBng(minx, miny, minx + size, miny + size, level).toSet
+      assert(cover.nonEmpty && cover.size < maxCover, s"level $level size ${cover.size}")
+      (0 until 500).foreach { k =>
+        val h = graft.input.WebTable.splitmix64(k.toLong * 131L + level)
+        val x = minx + java.lang.Long.remainderUnsigned(h, size.toLong)
+        val y = miny + java.lang.Long.remainderUnsigned(h >>> 11, size.toLong)
+        val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+        assert(cover.contains(S2.cellId(lat, lng, level)),
+          s"level $level point ($x,$y) not covered")
+      }
+    }
+  }
+
+  test("H3 cover containment holds at the finest supported resolutions") {
+    // res 12 (edge ~30 m) over a 4 km box exercises the capped-sampling +
+    // widened-disk path; res 15 over a 60 m box the pure half-edge path.
+    for ((size, res) <- Seq((4000.0, 12), (60.0, 15))) {
+      val (minx, miny) = (420000.0, 510000.0)
+      val cover = H3.coverEnvelopeBng(minx, miny, minx + size, miny + size, res).toSet
+      assert(cover.nonEmpty, s"res $res empty cover")
+      (0 until 500).foreach { k =>
+        val h = graft.input.WebTable.splitmix64(k.toLong * 977L + res)
+        val x = minx + java.lang.Long.remainderUnsigned(h, math.max(1L, size.toLong))
+        val y = miny + java.lang.Long.remainderUnsigned(h >>> 11, math.max(1L, size.toLong))
+        val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+        assert(cover.contains(H3.cellId(lat, lng, res)),
+          s"res $res point ($x,$y) not covered")
+      }
+    }
+  }
+
   // ---------------- H3-style ----------------
 
   test("H3 ids deterministic, res-correct; face stable across res; parent hierarchy sound") {

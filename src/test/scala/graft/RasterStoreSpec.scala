@@ -15,8 +15,11 @@ class RasterStoreSpec extends SparkSpec {
   test("dtype/nodata ladder (reference _dataframe.py:207-268,361-398)") {
     assert(Constants.dtypeAndNodata(0, 1) == ("uint8", 255d))
     assert(Constants.dtypeAndNodata(0, 254) == ("uint8", 255d))
-    assert(Constants.dtypeAndNodata(0, 255) == ("uint16", 65535d)) // collision widens
-    assert(Constants.dtypeAndNodata(-1, 100) == ("int8", 127d))
+    // collision widens via the reference's dict order: uint8 -> int16
+    assert(Constants.dtypeAndNodata(0, 255) == ("int16", 32767d))
+    assert(Constants.dtypeAndNodata(-1, 100) == ("int16", 32767d)) // no int8 (reference parity)
+    assert(Constants.dtypeAndNodata(0, 32767) == ("uint16", 65535d)) // int16 sentinel collision
+    assert(Constants.dtypeAndNodata(0, 65535) == ("int32", 2147483647d))
     assert(Constants.dtypeAndNodata(-32768, 32766) == ("int16", 32767d))
     assert(Constants.dtypeAndNodata(-5, 32767) == ("int32", 2147483647d)) // skips uint32
     val (fd, fn) = Constants.dtypeAndNodata(0.5, 2.5)

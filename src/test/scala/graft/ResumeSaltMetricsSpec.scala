@@ -119,6 +119,47 @@ class ResumeSaltMetricsSpec extends SparkSpec {
     assert(oracle.nonEmpty)
   }
 
+  test("duplicated order values burn deterministically ((ord, value)-max semantics)") {
+    // Every row shares ord=7: the old >=/>-mixed comparisons let the
+    // nondeterministic task split pick the winner. The (ord, value)
+    // lexicographic tie-break must produce max(value) per cell at ANY
+    // salting granularity.
+    val pts = (0 until 2000).map { i =>
+      val h = graft.input.WebTable.splitmix64(i.toLong * 53L)
+      val x = 530000.0 + java.lang.Long.remainderUnsigned(h, 5000L)
+      val y = 180000.0 + java.lang.Long.remainderUnsigned(h >>> 13, 5000L)
+      (7L, x, y, (i % 11).toLong)
+    }
+    val df = pts.toDF("ord", "x", "y", "v")
+    def canvas(targetRowsPerTask: Long): Map[(String, Int), Double] = {
+      val path = java.nio.file.Files.createTempDirectory("dupord").toString
+      RasterPipeline.toTileStoreSaltedPoints(df, "x", "y", "ord", "v", path,
+        cellSize = 100, tileSize = 10000, targetRowsPerTask = targetRowsPerTask,
+        overwrite = true)
+      val store = new TileStore(path)
+      val spec = store.header.columns.head
+      store.tiles().flatMap { t =>
+        store.readRegion(t, "v", spec.dtype).zipWithIndex.collect {
+          case (v, idx) if v != spec.nodata => (t, idx) -> v
+        }
+      }.toMap
+    }
+    val fine = canvas(targetRowsPerTask = 50)   // many salt partitions
+    val coarse = canvas(targetRowsPerTask = 100000L) // single partition
+    assert(fine == coarse, "duplicate-order result depends on salting")
+    // oracle: per cell, max value among coinciding points
+    val oracle = new scala.collection.mutable.HashMap[(String, Int), Double]()
+    pts.foreach { case (_, x, y, v) =>
+      val tile = graft.index.Bng.gridRef(x, y, 10000L)
+      val (minx, miny, _, _) = graft.index.Bng.bounds(tile)
+      val c = ((x - minx) / 100).toInt
+      val r = 99 - ((y - miny) / 100).toInt
+      val key = (tile, r * 100 + c)
+      oracle(key) = math.max(oracle.getOrElse(key, Double.NegativeInfinity), v.toDouble)
+    }
+    assert(fine == oracle.toMap)
+  }
+
   test("observe metrics ride the job (no extra scan) and are captured") {
     graft.run.Metrics.register(spark)
     graft.run.Metrics.captured.clear()

@@ -120,6 +120,79 @@ class SpatialJoinSpec extends SparkSpec {
     assert(adaptive == bruteForce)
   }
 
+  test("boundary-aligned candidates: how modes on a grid-aligned box") {
+    import graft.index.IndexExpressions._
+    // Box exactly one 10 km cell, every edge on a grid line.
+    val df = Seq((1L, Wkb.write(Wkb.box(400000, 400000, 410000, 410000))))
+      .toDF("id", "geometry")
+    def refs(how: String): Set[String] =
+      df.select(explode(bng_index(col("geometry"), 10000L, how)).as("r"))
+        .as[String].collect().toSet
+    def cell(e: Long, n: Long): String =
+      graft.index.Bng.gridRef(e * 10000d, n * 10000d, 10000)
+    // intersects (join candidates) is touch-INCLUSIVE: the right/top
+    // neighbours share a grid line with the box, and a point lying on
+    // that line floor-maps to them — they must stay candidates.
+    assert(refs("intersects") ==
+      Set(cell(40, 40), cell(41, 40), cell(40, 41), cell(41, 41)))
+    // interior (rasterize tile assignment) keeps only the burnable cell.
+    assert(refs("interior") == Set(cell(40, 40)))
+    // contains: the box equals the cell, JTS contains(equal) = true.
+    assert(refs("contains") == Set(cell(40, 40)))
+    // invariant: for EVERY point p of the geometry (boundary included),
+    // the cell p floor-maps to is among the intersects candidates.
+    val inter = refs("intersects")
+    for (x <- Seq(400000d, 405000d, 410000d); y <- Seq(400000d, 405000d, 410000d))
+      assert(inter.contains(graft.index.Bng.gridRef(x, y, 10000)), s"($x,$y)")
+  }
+
+  test("reference 'contains' shape: intersecting cells + containment flag") {
+    import graft.index.IndexExpressions._
+    // Two cells wide, one tall, grid-aligned.
+    val df = Seq((1L, Wkb.write(Wkb.box(400000, 400000, 420000, 410000))))
+      .toDF("id", "geometry")
+    val got = df.select(explode(bng_index_flags(col("geometry"), 10000L)).as("f"))
+      .select(col("f.ref"), col("f.contained")).as[(String, Boolean)]
+      .collect().toMap
+    def cell(e: Long, n: Long): String =
+      graft.index.Bng.gridRef(e * 10000d, n * 10000d, 10000)
+    assert(got == Map(
+      cell(40, 40) -> true, cell(41, 40) -> true,   // wholly inside
+      cell(42, 40) -> false,                        // touch-only (right)
+      cell(40, 41) -> false, cell(41, 41) -> false, // touch-only (top)
+      cell(42, 41) -> false))                       // corner touch
+  }
+
+  test("point exactly on a grid-aligned polygon edge is joined (covers)") {
+    // Polygon's right edge lies ON the grid line x=410000; the point on
+    // that edge floor-maps to the cell the polygon only touches. The old
+    // touch-exclusive candidates dropped this pair.
+    val polyDf = Seq((7L, Wkb.write(Wkb.box(400000, 400000, 410000, 410000))))
+      .toDF("poly_id", "geometry")
+    val ptsDf = Seq(
+      (1L, 410000.0, 405000.0),  // on right edge, interior of edge
+      (2L, 410000.0, 410000.0),  // exact corner
+      (3L, 405000.0, 405000.0),  // interior sanity
+      (4L, 410000.1, 405000.0)   // just outside
+    ).toDF("pid", "x", "y")
+    val got = SpatialJoin.pointInPolygon(ptsDf, "x", "y", polyDf, "geometry",
+        resolution = 10000L, broadcastPolys = true, predicate = "covers")
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("geometries whose only contact is a grid line are joined (geomJoin)") {
+    val left = Seq((1L, Wkb.write(Wkb.box(395000, 400000, 410000, 405000))))
+      .toDF("lid", "geometry")
+    val right = Seq((2L, Wkb.write(Wkb.box(410000, 400000, 420000, 405000))))
+      .toDF("rid", "geometry")
+    val got = SpatialJoin.geomJoin(left, "geometry", "lid",
+        right.withColumnRenamed("geometry", "rgeom"), "rgeom", "rid",
+        resolution = 10000L, predicate = "intersects", broadcastRight = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("ring-expansion kNN equals broadcast brute-force kNN") {
     val qs = (0L until 25L).map { q =>
       (q, rnd(q, 7) * 700000.0, rnd(q, 8) * 1300000.0)
