@@ -94,8 +94,9 @@ object LayerWrapper {
   private[core] val log = org.slf4j.LoggerFactory.getLogger(classOf[LayerWrapper])
 
   /** Suffix-dispatch reader (reference `from_files`, `dataframe.py:110-212`):
-    * csv/json/parquet via Spark readers; metadata from GEMINI XML or
-    * sidecar JSON when given.
+    * csv/json/parquet via Spark readers; xlsx/ods via the zipped-XML
+    * spreadsheet parser (driver-side like the reference's pandas path);
+    * metadata from GEMINI XML or sidecar JSON when given.
     */
   def fromFiles(spark: org.apache.spark.sql.SparkSession, dataPath: String,
       name: Option[String] = None, metadataPath: Option[String] = None,
@@ -104,6 +105,8 @@ object LayerWrapper {
     val df = dataPath.split('.').lastOption.map(_.toLowerCase) match {
       case Some("csv") => reader.option("header", "true").csv(dataPath)
       case Some("json") => reader.json(dataPath)
+      case Some("xlsx") | Some("xlsm") | Some("ods") =>
+        graft.input.Xlsx.read(spark, dataPath)
       case _ => reader.parquet(dataPath)
     }
     val meta = metadataPath.map { p =>

@@ -240,6 +240,50 @@ object H3 {
     out.toSeq
   }
 
+  /** Cells at `res` covering a GEOMETRY (conservative superset, tighter
+    * than the envelope cover for thin/non-convex shapes): the same
+    * envelope sampling grid, but a sample only contributes its closure
+    * disk when it lies within the grid half-diagonal of the geometry.
+    * Guarantee unchanged: every geometry point p has a grid sample q with
+    * |p - q| <= halfDiag; that q passes the distance prefilter, and
+    * cell(p) is inside q's closure disk. For an axis-aligned box this
+    * degenerates to the envelope cover; for a triangle it halves the
+    * candidate fan-out, and for a diagonal corridor the cut is ~10x
+    * (measured in H3S2Spec / BENCH.md).
+    */
+  def coverGeometryBng(geom: org.locationtech.jts.geom.Geometry, res: Int): Seq[Long] = {
+    val env = geom.getEnvelopeInternal
+    val (minx, miny, maxx, maxy) = (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    val edge = edgeMetres(res)
+    val maxPerAxis = 128.0
+    val span = math.max(maxx - minx, maxy - miny)
+    val spacing = math.max(edge / 2.0, span / maxPerAxis)
+    val halfDiag = spacing * 0.7072
+    val k = math.max(1, math.ceil(2.0 * halfDiag / (math.sqrt(3.0) * edge)).toInt)
+    val keepDist = halfDiag * 1.001
+    val gf = geom.getFactory
+    val coord = new org.locationtech.jts.geom.Coordinate()
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var x = minx
+    while (x <= maxx + spacing) {
+      var y = miny
+      while (y <= maxy + spacing) {
+        val sx = math.min(x, maxx); val sy = math.min(y, maxy)
+        coord.setX(sx); coord.setY(sy)
+        if (geom.isWithinDistance(gf.createPoint(coord), keepDist)) {
+          val (lat, lng) = Transform.bngToWgs84Deg(sx, sy)
+          val c = cellId(lat, lng, res)
+          out += c
+          var rr = 1
+          while (rr <= k) { ring(c, rr).foreach(out += _); rr += 1 }
+        }
+        y += spacing
+      }
+      x += spacing
+    }
+    out.toSeq
+  }
+
   /** Hex ring (axial k-ring boundary) around a cell, same face. */
   def ring(id: Long, k: Int): Seq[Long] = {
     val res = resOf(id); val f = faceOfId(id)

@@ -145,6 +145,36 @@ class H3S2Spec extends AnyFunSuite {
     }
   }
 
+  test("H3 geometry cover: contains every interior cell, prunes the envelope") {
+    // Diagonal corridor (thin rotated quad) across 60 km: the envelope
+    // cover pays the full bounding square; the geometry cover must keep
+    // every point's cell while dropping most of it.
+    val wkt = "POLYGON ((420000 510000, 422000 510000, 482000 568000, 480000 570000, 420000 510000))"
+    val g = graft.geo.Wkb.readWkt(wkt)
+    val res = 9
+    val envI = g.getEnvelopeInternal
+    val envCover = H3.coverEnvelopeBng(envI.getMinX, envI.getMinY,
+      envI.getMaxX, envI.getMaxY, res).toSet
+    val geomCover = H3.coverGeometryBng(g, res).toSet
+    assert(geomCover.subsetOf(envCover))
+    assert(geomCover.size * 3 < envCover.size,
+      s"expected >3x pruning, got ${envCover.size} -> ${geomCover.size}")
+    // containment: random points inside the corridor
+    var found = 0
+    (0 until 3000).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 919L)
+      val x = 420000.0 + java.lang.Long.remainderUnsigned(h, 62000L)
+      val y = 510000.0 + java.lang.Long.remainderUnsigned(h >>> 11, 60000L)
+      if (g.covers(graft.geo.Wkb.point(x, y))) {
+        found += 1
+        val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+        assert(geomCover.contains(H3.cellId(lat, lng, res)),
+          s"point ($x,$y) not covered")
+      }
+    }
+    assert(found > 50, s"fixture degenerate: only $found interior samples")
+  }
+
   // ---------------- H3-style ----------------
 
   test("H3 ids deterministic, res-correct; face stable across res; parent hierarchy sound") {

@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.LayerWrapper
+import graft.input.Xlsx
+import org.apache.spark.sql.types._
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Spreadsheet ingest (reference S4, `dataframe.py:161-190`): xlsx
+  * round-trip through our own writer, a shared-strings file, an ODS
+  * fixture with repeated columns, and the from_files dispatch.
+  */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xlsx round-trip preserves values and inferred types") {
+    val df = Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta", -2.25, false),
+      (3L, "gamma & <co>", 0.0, true)
+    ).toDF("id", "label", "score", "flag")
+    val path = java.nio.file.Files.createTempDirectory("xlsx").toString + "/t.xlsx"
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.schema == StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("label", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = true))))
+    val got = back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta", -2.25, false),
+      (3L, "gamma & <co>", 0.0, true)))
+  }
+
+  test("xlsx shared strings, gap cells, and rich-text runs parse") {
+    // Hand-built workbook exercising t="s" cells, a skipped cell (B3
+    // absent -> null), and a rich-text <si> split across two <t> runs.
+    val dir = java.nio.file.Files.createTempDirectory("xlsx2").toString
+    val path = s"$dir/s.xlsx"
+    val shared =
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>name</t></si>
+        |<si><r><t>Lond</t></r><r><t>on</t></r></si>
+        |<si><t>York</t></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>pop</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>8900000</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new java.io.FileOutputStream(path))
+    Seq("xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)
+      .foreach { case (n, c) =>
+        zout.putNextEntry(new ZipEntry(n)); zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+      }
+    zout.close()
+    val back = Xlsx.read(spark, path).orderBy("name")
+    assert(back.schema.fieldNames.toSeq == Seq("name", "pop"))
+    assert(back.schema("pop").dataType == LongType)
+    val rows = back.collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(rows.toSeq == Seq(("London", Some(8900000L)), ("York", None)))
+  }
+
+  test("ods fixture with repeated and typed cells parses") {
+    val dir = java.nio.file.Files.createTempDirectory("ods").toString
+    val path = s"$dir/t.ods"
+    val content =
+      """<?xml version="1.0"?>
+        |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        |  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        |  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="Sheet1">
+        |<table:table-row>
+        |  <table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>
+        |  <table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell>
+        |  <table:table-cell office:value-type="string"><text:p>c</text:p></table:table-cell>
+        |</table:table-row>
+        |<table:table-row>
+        |  <table:table-cell office:value-type="float" office:value="2" table:number-columns-repeated="2"/>
+        |  <table:table-cell office:value-type="boolean" office:boolean-value="true"/>
+        |</table:table-row>
+        |</table:table>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val zout = new ZipOutputStream(new java.io.FileOutputStream(path))
+    zout.putNextEntry(new ZipEntry("content.xml"))
+    zout.write(content.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val back = Xlsx.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(back.schema("a").dataType == LongType &&
+      back.schema("c").dataType == BooleanType)
+    val r = back.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getBoolean(2)) == (2L, 2L, true))
+  }
+
+  test("from_files dispatches .xlsx and carries lineage") {
+    val df = Seq((10L, "x"), (20L, "y")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx3").toString
+    Xlsx.write(df, s"$dir/table.xlsx")
+    val lw = LayerWrapper.fromFiles(spark, s"$dir/table.xlsx")
+    assert(lw.name == "table")
+    assert(lw.data.count() == 2)
+    assert(lw.data.schema("k").dataType == LongType)
+  }
+}
