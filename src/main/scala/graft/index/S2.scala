@@ -152,6 +152,25 @@ object S2 {
     */
   def coverEnvelopeBng(minx: Double, miny: Double, maxx: Double, maxy: Double,
       level: Int): Seq[Long] = {
+    val (face, step, iMin, iMax, jMin, jMax) = ijBounds(minx, miny, maxx, maxy, level)
+    val out = Seq.newBuilder[Long]
+    var i = iMin & -step
+    while (i <= iMax) {
+      var j = jMin & -step
+      while (j <= jMax) {
+        out += parent(fromFaceIJ(face, i, j), level)
+        j += step
+      }
+      i += step
+    }
+    out.result().distinct
+  }
+
+  /** Converged (face, step, iMin, iMax, jMin, jMax) of an envelope's
+    * image in the face ij grid (shared by both covers).
+    */
+  private def ijBounds(minx: Double, miny: Double, maxx: Double, maxy: Double,
+      level: Int): (Int, Int, Int, Int, Int, Int) = {
     def boundarySamples(nPerEdge: Int): Seq[(Int, Int, Int)] = {
       val ts = (0 to nPerEdge).map(_.toDouble / nPerEdge)
       val pts =
@@ -187,12 +206,62 @@ object S2 {
     val iMax = math.min((1 << MaxLevel) - 1, b._2 + step)
     val jMin = math.max(0, (b._3 & -step) - step)
     val jMax = math.min((1 << MaxLevel) - 1, b._4 + step)
+    (face, step, iMin, iMax, jMin, jMax)
+  }
+
+  /** (face, u, v) -> unit vector (inverse of [[xyzToFaceUV]]). */
+  def faceUVToXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
+    face match {
+      case 0 => (1, u, v)
+      case 1 => (-u, 1, v)
+      case 2 => (-u, -v, 1)
+      case 3 => (-1, -v, -u)
+      case 4 => (v, -1, -u)
+      case _ => (v, u, -1)
+    }
+
+  /** BNG (e, n) of the point at leaf-grid fractional (i, j) on `face`. */
+  private def ijToBng(face: Int, i: Double, j: Double): (Double, Double) = {
+    val u = stToUV(i / (1 << MaxLevel))
+    val v = stToUV(j / (1 << MaxLevel))
+    val (x, y, z) = faceUVToXYZ(face, u, v)
+    val lat = math.toDegrees(math.atan2(z, math.hypot(x, y)))
+    val lng = math.toDegrees(math.atan2(y, x))
+    Transform.wgs84ToBng(lat, lng)
+  }
+
+  /** Cells at `level` covering a GEOMETRY (conservative superset, tighter
+    * than the envelope cover for thin/non-convex shapes): the same ij
+    * walk, but a cell is kept only when the geometry comes within that
+    * cell's own center-to-corner radius (projected to BNG metres, exact
+    * per cell) of its center. Any geometry point inside the cell is
+    * within that radius of the center, so containment is preserved; far
+    * interior-void cells of the bounding box are pruned.
+    */
+  def coverGeometryBng(geom: org.locationtech.jts.geom.Geometry,
+      level: Int): Seq[Long] = {
+    val env = geom.getEnvelopeInternal
+    val (face, step, iMin, iMax, jMin, jMax) =
+      ijBounds(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, level)
+    val gf = geom.getFactory
     val out = Seq.newBuilder[Long]
     var i = iMin & -step
     while (i <= iMax) {
       var j = jMin & -step
       while (j <= jMax) {
-        out += parent(fromFaceIJ(face, i, j), level)
+        val (cx, cy) = ijToBng(face, i + 0.5 * step, j + 0.5 * step)
+        var radius = 0.0
+        var ci = 0
+        while (ci < 4) {
+          val (ex, ey) = ijToBng(face,
+            i + (if ((ci & 1) == 0) 0.0 else step.toDouble),
+            j + (if ((ci & 2) == 0) 0.0 else step.toDouble))
+          radius = math.max(radius, math.hypot(ex - cx, ey - cy))
+          ci += 1
+        }
+        val center = gf.createPoint(new org.locationtech.jts.geom.Coordinate(cx, cy))
+        if (geom.isWithinDistance(center, radius * 1.05))
+          out += parent(fromFaceIJ(face, i, j), level)
         j += step
       }
       i += step

@@ -73,18 +73,12 @@ object SpatialJoin {
       system: String, res: Int,
       broadcastPolys: Boolean = true): DataFrame = {
     import graft.index.IndexExpressions._
+    // Geometry-aware covers: prune candidate cells far from the polygon
+    // (thin/non-convex shapes), cutting join fan-out vs envelope covers.
     val coverUdf = udf { (wkb: Array[Byte]) =>
       val g = graft.geo.Wkb.read(wkb)
-      if (system == "s2") {
-        // S2's ij-box cover is already envelope-exact; geometry pruning
-        // for S2 would need an ij-space distance walk (future work).
-        val env = g.getEnvelopeInternal
-        graft.index.S2.coverEnvelopeBng(env.getMinX, env.getMinY,
-          env.getMaxX, env.getMaxY, res)
-      } else
-        // Geometry-aware cover: prunes candidate cells far from the
-        // polygon (thin/non-convex shapes), cutting join fan-out.
-        graft.index.H3.coverGeometryBng(g, res)
+      if (system == "s2") graft.index.S2.coverGeometryBng(g, res)
+      else graft.index.H3.coverGeometryBng(g, res)
     }
     val polyCells = polygons.withColumn("__cell__", explode(coverUdf(col(geomCol))))
     val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells

@@ -145,6 +145,44 @@ class H3S2Spec extends AnyFunSuite {
     }
   }
 
+  test("S2 geometry cover: contains every interior cell, prunes the envelope") {
+    val wkt = "POLYGON ((420000 510000, 422000 510000, 482000 568000, 480000 570000, 420000 510000))"
+    val g = graft.geo.Wkb.readWkt(wkt)
+    val level = 13
+    val envI = g.getEnvelopeInternal
+    val envCover = S2.coverEnvelopeBng(envI.getMinX, envI.getMinY,
+      envI.getMaxX, envI.getMaxY, level).toSet
+    val geomCover = S2.coverGeometryBng(g, level).toSet
+    assert(geomCover.subsetOf(envCover))
+    assert(geomCover.size * 3 < envCover.size,
+      s"expected >3x pruning, got ${envCover.size} -> ${geomCover.size}")
+    var found = 0
+    (0 until 3000).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 557L)
+      val x = 420000.0 + java.lang.Long.remainderUnsigned(h, 62000L)
+      val y = 510000.0 + java.lang.Long.remainderUnsigned(h >>> 11, 60000L)
+      if (g.covers(graft.geo.Wkb.point(x, y))) {
+        found += 1
+        val (lat, lng) = Transform.bngToWgs84Deg(x, y)
+        assert(geomCover.contains(S2.cellId(lat, lng, level)),
+          s"point ($x,$y) not covered")
+      }
+    }
+    assert(found > 50)
+  }
+
+  test("wgs84ToBng inverts bngToWgs84Deg to sub-millimetre") {
+    (0 until 200).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 7211L)
+      val e = java.lang.Long.remainderUnsigned(h, 700000L).toDouble
+      val n = java.lang.Long.remainderUnsigned(h >>> 17, 1300000L).toDouble
+      val (lat, lng) = Transform.bngToWgs84Deg(e, n)
+      val (e2, n2) = Transform.wgs84ToBng(lat, lng)
+      assert(math.abs(e2 - e) < 1e-3 && math.abs(n2 - n) < 1e-3,
+        s"($e,$n) -> ($e2,$n2)")
+    }
+  }
+
   test("H3 geometry cover: contains every interior cell, prunes the envelope") {
     // Diagonal corridor (thin rotated quad) across 60 km: the envelope
     // cover pays the full bounding square; the geometry cover must keep
