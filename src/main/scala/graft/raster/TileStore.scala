@@ -84,9 +84,12 @@ class TileStore(val path: String) {
 
   /** K2: executor-side region write of one tile's array for one column.
     * Idempotent (fixed file per (tile, column)) — safe to replay on
-    * resume. Regions are DEFLATE-compressed (like Zarr's compressed
-    * chunks): sparse tiles — the common case at web scale, where most of
-    * a 10 km tile is nodata — shrink ~100x on disk.
+    * resume. Regions are Zstd-compressed (like Zarr's compressed chunks):
+    * sparse tiles — the common case at web scale, where most of a 10 km
+    * tile is nodata — shrink ~100x on disk. Zstd level 1 measured 2.2x
+    * faster to write, 1.5x faster to read and 28% smaller than the
+    * round-1 Deflater(BEST_SPEED) on a 2%-dense uint8 region (BENCH.md);
+    * reads sniff the frame magic so older DEFLATE stores stay readable.
     */
   def writeRegion(tileRef: String, column: String, dtype: String,
       data: Array[Double]): Unit = {
@@ -104,9 +107,8 @@ class TileStore(val path: String) {
       case _ => data.foreach(bb.putDouble)
     }
     val tmp = Files.createTempFile(dir, column, ".tmp")
-    val out = new java.util.zip.DeflaterOutputStream(
-      Files.newOutputStream(tmp),
-      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      Files.newOutputStream(tmp), 1)
     out.write(bb.array())
     out.close()
     Files.move(tmp, dir.resolve(s"$column.bin"), StandardCopyOption.ATOMIC_MOVE,
@@ -115,7 +117,19 @@ class TileStore(val path: String) {
 
   def readRegion(tileRef: String, column: String, dtype: String): Array[Double] = {
     val f = Paths.get(path, s"tile=$tileRef", s"$column.bin")
-    val in = new java.util.zip.InflaterInputStream(Files.newInputStream(f))
+    val raw = Files.newInputStream(f)
+    val buf = new java.io.BufferedInputStream(raw)
+    // Frame sniff: Zstd magic 28 B5 2F FD; anything else is a round-1
+    // DEFLATE region.
+    buf.mark(4)
+    val m = new Array[Byte](4)
+    val read = buf.readNBytes(m, 0, 4)
+    buf.reset()
+    val isZstd = read == 4 && m(0) == 0x28.toByte && m(1) == 0xB5.toByte &&
+      m(2) == 0x2F.toByte && m(3) == 0xFD.toByte
+    val in =
+      if (isZstd) new com.github.luben.zstd.ZstdInputStream(buf)
+      else new java.util.zip.InflaterInputStream(buf)
     val bytes = in.readAllBytes()
     in.close()
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

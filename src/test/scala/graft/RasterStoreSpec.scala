@@ -123,6 +123,26 @@ class RasterStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("categorize"))
   }
 
+  test("round-1 DEFLATE regions stay readable (frame sniff)") {
+    val path = java.nio.file.Files.createTempDirectory("tilestore-deflate").toString
+    val st = new TileStore(path)
+    st.init(graft.raster.StoreHeader("EPSG:27700", 100000, 0, 0, 700000,
+      1300000, 100000, Seq.empty, Map.empty), overwrite = true)
+    // hand-write a DEFLATE-compressed uint8 region like round-1 stores
+    val dir = java.nio.file.Paths.get(path, "tile=SE")
+    java.nio.file.Files.createDirectories(dir)
+    val out = new java.util.zip.DeflaterOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("old.bin")),
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
+    out.write(Array[Byte](7, 0, 42)); out.close()
+    assert(st.readRegion("SE", "old", "uint8").toSeq == Seq(7d, 0d, 42d))
+    // new writes are zstd frames
+    st.writeRegion("SE", "nu", "uint8", Array(9d))
+    val head = java.nio.file.Files.readAllBytes(dir.resolve("nu.bin")).take(4)
+    assert(head.toSeq == Seq(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte))
+    assert(st.readRegion("SE", "nu", "uint8").toSeq == Seq(9d))
+  }
+
   test("overwrite guard (reference _warn_zarr_overwrite)") {
     val path = java.nio.file.Files.createTempDirectory("tilestore5").toString
     val st = new TileStore(path)
