@@ -171,6 +171,28 @@ class H3S2Spec extends AnyFunSuite {
     assert(found > 50)
   }
 
+  test("lattice fast transform matches the exact chain to < 2e-9 deg on-canvas, exactly off-canvas") {
+    val fast = new Array[Double](2); val exact = new Array[Double](2)
+    var maxErr = 0.0
+    (0 until 100000).foreach { k =>
+      val h = graft.input.WebTable.splitmix64(k.toLong * 41L)
+      val e = java.lang.Long.remainderUnsigned(h, 700000L).toDouble + (h % 997) / 997.0
+      val n = java.lang.Long.remainderUnsigned(h >>> 17, 1300000L).toDouble
+      Transform.bngToWgs84DegInto(e, n, fast)
+      Transform.bngToWgs84ExactInto(e, n, exact)
+      maxErr = math.max(maxErr,
+        math.max(math.abs(fast(0) - exact(0)), math.abs(fast(1) - exact(1))))
+    }
+    assert(maxErr < 2e-9, s"lattice error $maxErr deg") // 5.7e-10 measured; 0.2mm ceiling
+    // off-canvas falls back to the exact chain bit-for-bit
+    Seq((-5000.0, 600000.0), (705000.0, 100.0), (1000.0, 1300001.0)).foreach {
+      case (e, n) =>
+        Transform.bngToWgs84DegInto(e, n, fast)
+        Transform.bngToWgs84ExactInto(e, n, exact)
+        assert(fast(0) == exact(0) && fast(1) == exact(1))
+    }
+  }
+
   test("wgs84ToBng inverts bngToWgs84Deg to sub-millimetre") {
     (0 until 200).foreach { k =>
       val h = graft.input.WebTable.splitmix64(k.toLong * 7211L)
