@@ -59,7 +59,8 @@ object SparkEntry {
     "q36_radius_join" -> (GraftQueries.q36RadiusJoin _),
     "q37_asof_join" -> (GraftQueries.q37AsOfJoin _),
     "q38_highcard_codes" -> (GraftQueries.q38HighCardCodes _),
-    "q39_neardup_skew" -> (GraftQueries.q39NearDupSkew _)
+    "q39_neardup_skew" -> (GraftQueries.q39NearDupSkew _),
+    "q40_xlsx_roundtrip" -> (GraftQueries.q40XlsxRoundtrip _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -98,7 +99,8 @@ object SparkEntry {
     "q21_simhash" -> GraftQueries.q21Sql,
     "q22_ngram_jaccard" -> GraftQueries.q22Sql,
     "q38_highcard_codes" -> GraftQueries.q38Sql,
-    "q39_neardup_skew" -> GraftQueries.q39Sql
+    "q39_neardup_skew" -> GraftQueries.q39Sql,
+    "q40_xlsx_roundtrip" -> GraftQueries.q40Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -45,6 +45,54 @@ object GeoExpressions {
     toCol(StPredicatePoint(expr(geom), expr(x), expr(y), "covers"))
   def st_contains_point(geom: Column, x: Column, y: Column): Column =
     toCol(StPredicatePoint(expr(geom), expr(x), expr(y), "contains"))
+
+  /** Content hash of a WKB geometry — computed ONCE on a join's (small)
+    * build side so the probe-side refine can key its prepared-geometry
+    * cache without re-hashing ~100 WKB bytes per candidate row.
+    */
+  def st_geom_key(geom: Column): Column = toCol(StGeomKey(expr(geom)))
+
+  /** Keyed variant of [[st_covers_point]]/[[st_contains_point]]: the
+    * cache key is the precomputed [[st_geom_key]] column.
+    */
+  def st_predicate_point_keyed(key: Column, geom: Column, x: Column,
+      y: Column, op: String): Column =
+    toCol(StPredicatePointKeyed(expr(key), expr(geom), expr(x), expr(y), op))
+}
+
+/** WKB -> 64-bit content hash (same FNV the prepared cache uses). */
+case class StGeomKey(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(g: Any): Any =
+    StPredicatePoint.hashBytes(g.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (geomKey, polyWkb, x, y) -> boolean; prepared-geometry cache lookup by
+  * the precomputed long key (no per-row WKB hashing), preparing from the
+  * WKB on first sight of a key.
+  */
+case class StPredicatePointKeyed(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, op: String)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(k: Any, g: Any, xv: Any, yv: Any): Any = {
+    val pg = StPredicatePoint.preparedByKey(k.asInstanceOf[Long],
+      g.asInstanceOf[Array[Byte]])
+    val pt = StPredicatePoint.point.get()
+    val coord = pt.getCoordinate
+    coord.x = xv.asInstanceOf[Double]
+    coord.y = yv.asInstanceOf[Double]
+    pt.geometryChanged()
+    if (op == "contains") pg.contains(pt) else pg.covers(pt)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
 }
 
 /** (polyWkb, x, y) -> boolean; prepared-geometry cache keyed by WKB
@@ -84,15 +132,19 @@ object StPredicatePoint {
           org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean = size() > 512
     })
 
-  private def hashBytes(b: Array[Byte]): Long = {
+  private[geo] def hashBytes(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L; i += 1 }
     h
   }
 
-  def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
-    val key = java.lang.Long.valueOf(hashBytes(wkb))
+  def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry =
+    preparedByKey(hashBytes(wkb), wkb)
+
+  def preparedByKey(keyHash: Long, wkb: Array[Byte])
+      : org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val key = java.lang.Long.valueOf(keyHash)
     val c = cache.get()
     val hit = c.get(key)
     if (hit != null) hit

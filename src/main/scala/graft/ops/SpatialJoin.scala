@@ -42,9 +42,13 @@ object SpatialJoin {
     // Polygon side: explode to one row per intersecting cell. Join key is
     // the packed LONG cell id — string-keyed broadcast joins plateau at
     // high parallelism (~1.1x from 8->32 threads, measured in BENCH.md);
-    // long keys probe ~3x faster and keep scaling.
+    // long keys probe ~3x faster and keep scaling. The geometry content
+    // hash is computed HERE (once per polygon-cell row on the tiny build
+    // side) so the refine's prepared-geometry cache never re-hashes WKB
+    // bytes per candidate row.
     val polyCells = polygons
       .withColumn("__cell__", explode(bng_index_ids(col(geomCol), resolution, "intersects")))
+      .withColumn("__gkey__", st_geom_key(col(geomCol)))
     val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells
 
     // Point side: single-cell fast path, no geometry allocation.
@@ -53,11 +57,9 @@ object SpatialJoin {
 
     val refined = ptCells
       .join(polyIndexed, Seq("__cell__"))
-      .filter(
-        if (predicate == "contains")
-          st_contains_point(col(geomCol), col(x), col(y))
-        else st_covers_point(col(geomCol), col(x), col(y)))
-      .drop("__cell__")
+      .filter(st_predicate_point_keyed(col("__gkey__"), col(geomCol),
+        col(x), col(y), predicate))
+      .drop("__cell__", "__gkey__")
     refined
   }
 
@@ -81,13 +83,15 @@ object SpatialJoin {
       else graft.index.H3.coverGeometryBng(g, res)
     }
     val polyCells = polygons.withColumn("__cell__", explode(coverUdf(col(geomCol))))
+      .withColumn("__gkey__", st_geom_key(col(geomCol)))
     val polyIndexed = if (broadcastPolys) broadcast(polyCells) else polyCells
     val ptCells = points.withColumn("__cell__",
       if (system == "s2") s2_index_point(col(x), col(y), res)
       else h3_index_point(col(x), col(y), res))
     ptCells.join(polyIndexed, Seq("__cell__"))
-      .filter(st_covers_point(col(geomCol), col(x), col(y)))
-      .drop("__cell__")
+      .filter(st_predicate_point_keyed(col("__gkey__"), col(geomCol),
+        col(x), col(y), "covers"))
+      .drop("__cell__", "__gkey__")
   }
 
   /** Radius (range) join: every (query, point) pair within `radius`

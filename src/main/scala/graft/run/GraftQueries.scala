@@ -882,6 +882,29 @@ object GraftQueries {
       |       CAST(DENSE_RANK() OVER (ORDER BY text) - 1 AS BIGINT) AS text_code
       |FROM documents""".stripMargin
 
+  /** Spreadsheet ingest round-trip (S4): write the nation table to a
+    * real .xlsx in the per-session scratch dir, read it back through the
+    * OOXML parser + from_files dispatch, and return the typed rows — the
+    * oracle reads the same rows straight from parquet, so the whole
+    * zip/XML/shared-strings/type-inference path is driver-oracle-checked.
+    */
+  def q40XlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("nation_key"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("region_key"))
+    val root = scratchStore(spark, "q40")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/nation.xlsx"
+    graft.input.Xlsx.write(nation, path)
+    graft.core.LayerWrapper.fromFiles(spark, path).data
+  }
+
+  val q40Sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS name,
+      |       CAST(n_regionkey AS BIGINT) AS region_key
+      |FROM nation""".stripMargin
+
   /** Boilerplate-skew near-dup: plant a 200-copy boilerplate cluster on
     * top of the documents table, then run the skew-safe pipeline — exact
     * pre-pass collapses the cluster to one representative, the bucket cap
