@@ -60,7 +60,8 @@ object SparkEntry {
     "q37_asof_join" -> (GraftQueries.q37AsOfJoin _),
     "q38_highcard_codes" -> (GraftQueries.q38HighCardCodes _),
     "q39_neardup_skew" -> (GraftQueries.q39NearDupSkew _),
-    "q40_xlsx_roundtrip" -> (GraftQueries.q40XlsxRoundtrip _)
+    "q40_xlsx_roundtrip" -> (GraftQueries.q40XlsxRoundtrip _),
+    "q41_stream_dedup" -> (GraftQueries.q41StreamDedup _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -100,7 +101,8 @@ object SparkEntry {
     "q22_ngram_jaccard" -> GraftQueries.q22Sql,
     "q38_highcard_codes" -> GraftQueries.q38Sql,
     "q39_neardup_skew" -> GraftQueries.q39Sql,
-    "q40_xlsx_roundtrip" -> GraftQueries.q40Sql
+    "q40_xlsx_roundtrip" -> GraftQueries.q40Sql,
+    "q41_stream_dedup" -> GraftQueries.q41Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -905,6 +905,20 @@ object GraftQueries {
       |       CAST(n_regionkey AS BIGINT) AS region_key
       |FROM nation""".stripMargin
 
+  /** Streaming exact dedup (REAL streaming run, AvailableNow): first-seen
+    * (user_id, event_type) pairs via watermarked dropDuplicates — only
+    * the key columns are emitted, so the result is order-independent and
+    * equals the relational DISTINCT the oracle computes.
+    */
+  def q41StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runDedupAvailableNow(spark,
+        s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
+        horizon = "1 hour", queryName = s"graft_dedup_${System.nanoTime()}")
+      .select(col("user_id"), col("event_type"))
+
+  val q41Sql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   /** Boilerplate-skew near-dup: plant a 200-copy boilerplate cluster on
     * top of the documents table, then run the skew-safe pipeline — exact
     * pre-pass collapses the cluster to one representative, the bucket cap

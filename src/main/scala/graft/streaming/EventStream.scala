@@ -54,8 +54,43 @@ object EventStream {
     spark.table(queryName)
   }
 
-  /** Stateful sessionization: gap-based sessions per user via
-    * flatMapGroupsWithState-equivalent batch logic is exposed in
-    * Sessionize (graft.ops); the streaming variant shares its kernel.
+  /** Streaming exact deduplication — the continuously-crawled-corpus
+    * counterpart of the batch hash dedup (q8): watermarked
+    * `dropDuplicates` on a content key keeps ONLY first-seen rows, with
+    * state bounded by the watermark horizon (Spark evicts keys older
+    * than the watermark — at web scale the state store holds one key per
+    * distinct document seen inside the horizon, not the full history).
     */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, horizon: String): DataFrame =
+    events
+      .withColumn(watermarkCol, col(watermarkCol).cast("timestamp"))
+      .withWatermark(watermarkCol, horizon)
+      .dropDuplicates(keyCols)
+
+  /** Run streaming dedup over a parquet path with AvailableNow; returns
+    * the deduped rows from the in-memory sink.
+    */
+  def runDedupAvailableNow(spark: SparkSession, parquetPath: String,
+      keyCols: Seq[String], watermarkCol: String, horizon: String,
+      queryName: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val streamPath = {
+      val p = java.nio.file.Paths.get(parquetPath)
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toString
+      } else parquetPath
+    }
+    val stream = spark.readStream.schema(schema).parquet(streamPath)
+    val q = dedupStream(stream, keyCols, watermarkCol, horizon).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }
