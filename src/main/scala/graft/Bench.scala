@@ -109,6 +109,43 @@ object Bench {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Near-dup dedup throughput (docs/sec): synthetic corpus with a
+    * planted 5% boilerplate cluster and 10% near-duplicates, through the
+    * full skew-safe pipeline (exact pre-pass -> MinHash signatures ->
+    * banded LSH with bucket cap -> exact shingle-Jaccard verify).
+    */
+  def dedupThroughput(spark: SparkSession, n: Long): Double = {
+    import spark.implicits._
+    val words = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "sort", "window", "join")
+    def docFor(i: Long): String = {
+      var r = WebTable.splitmix64(i * 6151L)
+      val sb = new StringBuilder
+      var k = 0
+      while (k < 40) {
+        r = WebTable.splitmix64(r)
+        sb.append(words(java.lang.Long.remainderUnsigned(r, words.length.toLong).toInt))
+        sb.append(' ')
+        k += 1
+      }
+      sb.toString
+    }
+    val docs = spark.range(0L, n, 1L, 64).map { i =>
+      val text =
+        if (i % 20 == 0) docFor(0L) // 5% identical boilerplate
+        else if (i % 10 == 0) docFor(i - 1) + "tail" // 10% near-dup of neighbour
+        else docFor(i)
+      (i, text)
+    }.toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("/tmp/graft-bench-dedup")
+    val src = spark.read.parquet("/tmp/graft-bench-dedup")
+    val t0 = System.nanoTime()
+    graft.ops.Dedup.minhashDedupSkewSafe(src, "doc_id", "text",
+        threshold = 0.7, bucketCap = 64)
+      .write.format("noop").mode("overwrite").save()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -144,6 +181,11 @@ object Bench {
     val rasterRowsPerSec = (1 to 2).map(_ =>
       rasterizeThroughput(spark, cpusForSizing.toLong * 10000L)).max
 
+    // skew-safe near-dup dedup throughput (docs/sec)
+    dedupThroughput(spark, 20000L) // warm
+    val dedupDocsPerSec = (1 to 2).map(_ =>
+      dedupThroughput(spark, cpusForSizing.toLong * 6000L)).max
+
     // per-query catalogue timings: best-of-2 — a single-shot number is
     // noise-prone (JIT, page cache, GC) and a one-off 15x outlier in the
     // recorded JSON sends later rounds chasing phantom regressions.
@@ -158,7 +200,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
