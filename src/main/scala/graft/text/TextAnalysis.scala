@@ -146,19 +146,88 @@ object TextAnalysis {
 
   // --- shingles (shared with Dedup) -------------------------------------
 
-  /** Hashes of word w-shingles (w consecutive tokens). */
+  /** FNV-1a over the UTF-8 encoding of `s[from, to)`, continuing from
+    * `h0` — allocation-free equivalent of hashing `s.substring.getBytes`.
+    */
+  private def fnvUtf8(s: String, from: Int, to: Int, h0: Long): Long = {
+    var h = h0
+    @inline def mix(b: Int): Unit = { h = (h ^ (b & 0xffL)) * 0x100000001b3L }
+    var i = from
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c < 0x80) mix(c)
+      else if (c < 0x800) { mix(0xc0 | (c >> 6)); mix(0x80 | (c & 0x3f)) }
+      else if (Character.isSurrogate(c)) {
+        if (Character.isHighSurrogate(c) && i + 1 < to &&
+            Character.isLowSurrogate(s.charAt(i + 1))) {
+          val cp = Character.toCodePoint(c, s.charAt(i + 1))
+          mix(0xf0 | (cp >> 18)); mix(0x80 | ((cp >> 12) & 0x3f))
+          mix(0x80 | ((cp >> 6) & 0x3f)); mix(0x80 | (cp & 0x3f))
+          i += 1
+        } else mix('?') // JDK UTF-8 encoder replaces lone surrogates
+      } else { mix(0xe0 | (c >> 12)); mix(0x80 | ((c >> 6) & 0x3f)); mix(0x80 | (c & 0x3f)) }
+      i += 1
+    }
+    h
+  }
+
+  private val FnvBasis = 0xcbf29ce484222325L
+
+  /** Hashes of word w-shingles (w consecutive tokens). Values are exactly
+    * `hash64(tokens.slice(i, i+w).mkString(" "))` — pinned by DedupSpec's
+    * brute-force oracles — but computed allocation-free: token spans are
+    * located once, each shingle hash streams FNV over the spans plus the
+    * joining spaces. Signature computation is the dedup pipeline's hot
+    * loop at corpus scale (the same text bytes are read w times; the old
+    * substring + mkString + getBytes path allocated ~4 objects per
+    * shingle).
+    */
   def shingleHashes(text: String, w: Int): Array[Long] = {
-    val toks = tokenize(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
-    if (toks.length < w) {
-      if (toks.isEmpty) Array.empty
-      else Array(WebTable.hash64(toks.mkString(" ")))
-    } else {
-      val out = new Array[Long](toks.length - w + 1)
-      var i = 0
-      while (i + w <= toks.length) {
-        out(i) = WebTable.hash64(toks.slice(i, i + w).mkString(" "))
-        i += 1
+    val lower = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
+    // token spans, same boundaries as tokenize()
+    val n = lower.length
+    var cap = 16
+    var starts = new Array[Int](cap); var ends = new Array[Int](cap)
+    var nt = 0
+    @inline def push(s: Int, e: Int): Unit = {
+      if (nt == cap) {
+        cap *= 2
+        starts = java.util.Arrays.copyOf(starts, cap)
+        ends = java.util.Arrays.copyOf(ends, cap)
       }
+      starts(nt) = s; ends(nt) = e; nt += 1
+    }
+    var i = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      if (Character.isLetter(c)) {
+        val s = i
+        while (i < n && Character.isLetter(lower.charAt(i))) i += 1
+        push(s, i)
+      } else if (Character.isDigit(c)) {
+        val s = i
+        while (i < n && Character.isDigit(lower.charAt(i))) i += 1
+        push(s, i)
+      } else if (!Character.isWhitespace(c)) { push(i, i + 1); i += 1 }
+      else i += 1
+    }
+    @inline def shingleHash(from: Int, width: Int): Long = {
+      var h = FnvBasis
+      var k = 0
+      while (k < width) {
+        h = fnvUtf8(lower, starts(from + k), ends(from + k), h)
+        if (k < width - 1) h = (h ^ 0x20L) * 0x100000001b3L // joining space
+        k += 1
+      }
+      h
+    }
+    if (nt < w) {
+      if (nt == 0) Array.empty
+      else Array(shingleHash(0, nt))
+    } else {
+      val out = new Array[Long](nt - w + 1)
+      var s = 0
+      while (s + w <= nt) { out(s) = shingleHash(s, w); s += 1 }
       out
     }
   }

@@ -5,6 +5,35 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextAnalysisSpec extends AnyFunSuite {
 
+  test("shingleHashes equals the definitional hash64(joined tokens) (fuzz incl. unicode)") {
+    def definitional(text: String, w: Int): Array[Long] = {
+      val toks = TextAnalysis.tokenize(
+        if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+      if (toks.length < w) {
+        if (toks.isEmpty) Array.empty
+        else Array(graft.input.WebTable.hash64(toks.mkString(" ")))
+      } else (0 to toks.length - w).map(i =>
+        graft.input.WebTable.hash64(toks.slice(i, i + w).mkString(" "))).toArray
+    }
+    val alphabet = "abz AZ09 .,!-éß中😀\t\n"
+    (0 until 500).foreach { k =>
+      var r = graft.input.WebTable.splitmix64(k.toLong * 613L)
+      val len = (java.lang.Long.remainderUnsigned(r, 120L)).toInt
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        r = graft.input.WebTable.splitmix64(r)
+        sb.append(alphabet.charAt(
+          java.lang.Long.remainderUnsigned(r, alphabet.length.toLong).toInt))
+      }
+      val s = sb.toString
+      (1 to 4).foreach { w =>
+        assert(TextAnalysis.shingleHashes(s, w).toSeq == definitional(s, w).toSeq,
+          s"w=$w text=${s.take(60)}")
+      }
+    }
+    assert(TextAnalysis.shingleHashes(null, 3).isEmpty)
+  }
+
   test("tokenize: letter runs, digit runs, single punct, no whitespace") {
     assert(TextAnalysis.tokenize("hello world 42!").toSeq ==
       Seq("hello", "world", "42", "!"))
