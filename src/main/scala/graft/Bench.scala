@@ -146,6 +146,41 @@ object Bench {
     n / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** ANN over a synthetic embedding corpus: brute-force cosine top-10 vs
+    * IVF (nlist=64, nprobe=8, distributed Lloyd training) for 64 queries.
+    * Returns (brute qps, ivf qps) — the IVF ratio is the scale story: at
+    * 10^12 vectors only the bucketed path is viable.
+    */
+  def annThroughput(spark: SparkSession, n: Long): (Double, Double) = {
+    import spark.implicits._
+    val dim = 64
+    val corpus = spark.range(0L, n, 1L, 64).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        val h = WebTable.splitmix64(i * 131L + d)
+        (java.lang.Long.remainderUnsigned(h, 2000L) / 1000.0f) - 1.0f
+      })
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet("/tmp/graft-bench-ann")
+    val src = spark.read.parquet("/tmp/graft-bench-ann")
+    val qs = src.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = 64.0
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tb = time {
+      graft.ops.Similarity.bruteForceTopK(qs, "qid", "qvec", src, "vec_id",
+        "embedding", k = 10).write.format("noop").mode("overwrite").save()
+    }
+    val ti = time {
+      graft.ops.Similarity.ivfTopK(qs, "qid", "qvec", src, "vec_id",
+          "embedding", k = 10, nlist = 64, nprobe = 8,
+          distributedTraining = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    (nq / tb, nq / ti)
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -186,6 +221,10 @@ object Bench {
     val dedupDocsPerSec = (1 to 2).map(_ =>
       dedupThroughput(spark, cpusForSizing.toLong * 6000L)).max
 
+    // ANN: brute-force vs IVF queries/sec on a synthetic corpus
+    annThroughput(spark, 50000L) // warm
+    val (bruteQps, ivfQps) = annThroughput(spark, cpusForSizing.toLong * 16000L)
+
     // per-query catalogue timings: best-of-2 — a single-shot number is
     // noise-prone (JIT, page cache, GC) and a one-off 15x outlier in the
     // recorded JSON sends later rounds chasing phantom regressions.
@@ -200,7 +239,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,7 +59,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, shingleWidth: Int = 3, bands: Int = 16,
-      bucketCap: Int = 0): DataFrame = {
+      bucketCap: Int = 0, withEstimate: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(col(idCol).as("__id__"),
@@ -67,20 +67,37 @@ object Dedup {
     // One row per band: bucket key = hash of the band's signature slice.
     val bandKeys = array((0 until bands).map(b =>
       hash(slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-    val banded = capBuckets(sigs.select(col("__id__"), col("__sig__"),
-      posexplode(bandKeys).as(Seq("__band__", "__bucket__"))), bucketCap)
-    val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
-      col("__band__"), col("__bucket__"))
-    val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
-      col("__band__"), col("__bucket__"))
-    l.join(r, Seq("__band__", "__bucket__"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (aggregate(zip_with(col("siga"), col("sigb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-          .as("est_jaccard"))
-      .dropDuplicates("a", "b")
+    // When the caller immediately exact-verifies (minhashDedup), DROP the
+    // signature before the bucket shuffle: carrying 64 longs (~512 B) per
+    // banded row only to discard est_jaccard after the verify multiplies
+    // shuffle bytes ~20x on a web corpus.
+    val projected =
+      if (withEstimate) sigs.select(col("__id__"), col("__sig__"),
+        posexplode(bandKeys).as(Seq("__band__", "__bucket__")))
+      else sigs.select(col("__id__"),
+        posexplode(bandKeys).as(Seq("__band__", "__bucket__")))
+    val banded = capBuckets(projected, bucketCap)
+    if (withEstimate) {
+      val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
+        col("__band__"), col("__bucket__"))
+      val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
+        col("__band__"), col("__bucket__"))
+      l.join(r, Seq("__band__", "__bucket__"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (aggregate(zip_with(col("siga"), col("sigb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+            .as("est_jaccard"))
+        .dropDuplicates("a", "b")
+    } else {
+      val l = banded.select(col("__id__").as("a"), col("__band__"), col("__bucket__"))
+      val r = banded.select(col("__id__").as("b"), col("__band__"), col("__bucket__"))
+      l.join(r, Seq("__band__", "__bucket__"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .dropDuplicates("a", "b")
+    }
   }
 
   /** Full near-dup pipeline: LSH candidates -> exact shingle-Jaccard
@@ -90,7 +107,7 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, shingleWidth: Int = 3,
       bands: Int = 16, bucketCap: Int = 0): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth,
-      bands, bucketCap)
+      bands, bucketCap, withEstimate = false)
     val texts = df.select(col(idCol), col(textCol))
     val withTexts = cands
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta__")), Seq("a"))
@@ -209,16 +226,51 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
-  /** Cosine similarity of two float arrays via codegen'd built-ins
-    * (zip_with + aggregate) in double precision, array order fixed.
+  /** Cosine similarity of two numeric arrays in double precision, array
+    * order fixed — a single fused JVM loop (CosineSim). Bitwise-identical
+    * to the previous zip_with + aggregate formulation (same sequential
+    * IEEE accumulation order), but with no per-pair intermediate array:
+    * the built-in path allocated a zipped ArrayData per candidate pair,
+    * which dominated brute-force ANN at corpus scale.
     */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v)
-    val na = aggregate(a, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
+  def cosineCol(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** (vecA, vecB) -> cosine similarity; accepts float or double arrays.
+  * Accumulates dot/normA/normB in one pass, doubles, sequential order.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @inline private def elem(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, i: Int): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val vb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(va, leftFloat, i)
+      val y = elem(vb, rightFloat, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** text -> Array[Long] MinHash signature (deterministic seeded affine
