@@ -82,7 +82,7 @@ object IndexExpressions {
   */
 case class SphericalCells(left: Expression, right: Expression, h3Res: Int,
     s2Level: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("h3", LongType, nullable = false),
     StructField("s2", LongType, nullable = false)))
@@ -93,6 +93,28 @@ case class SphericalCells(left: Expression, right: Expression, h3Res: Int,
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](H3.cellId(lat, lng, h3Res), S2.cellId(lat, lng, s2Level)))
   }
+
+  /** Real codegen (this sits in the headline kernel's hot loop): unboxed
+    * child doubles straight into static mirror-class calls, one shared
+    * thread-local transform buffer — no interpreted-eval dispatch, no
+    * per-row boxing of the inputs.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ll = ctx.freshName("ll")
+      val vals = ctx.freshName("vals")
+      s"""
+         |double[] $ll = graft.index.Transform.tlLatLng();
+         |graft.index.Transform.bngToWgs84DegInto($x, $y, $ll);
+         |Object[] $vals = new Object[2];
+         |$vals[0] = Long.valueOf(graft.index.H3.cellId($ll[0], $ll[1], $h3Res));
+         |$vals[1] = Long.valueOf(graft.index.S2.cellId($ll[0], $ll[1], $s2Level));
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($vals);
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -103,7 +125,7 @@ case class SphericalCells(left: Expression, right: Expression, h3Res: Int,
   */
 case class SphericalCellId(left: Expression, right: Expression, res: Int,
     system: String)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(x: Any, y: Any): Any = {
@@ -113,6 +135,21 @@ case class SphericalCellId(left: Expression, right: Expression, res: Int,
       case "h3" => H3.cellId(lat, lng, res)
       case "s2" => S2.cellId(lat, lng, res)
     }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val target = if (system == "h3") "graft.index.H3" else "graft.index.S2"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ll = ctx.freshName("ll")
+      s"""
+         |double[] $ll = graft.index.Transform.tlLatLng();
+         |graft.index.Transform.bngToWgs84DegInto($x, $y, $ll);
+         |${ev.value} = $target.cellId($ll[0], $ll[1], $res);
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

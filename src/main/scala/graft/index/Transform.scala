@@ -212,6 +212,13 @@ object Transform {
     out(1) = catmullRom(lo0, lo1, lo2, lo3, fy)
   }
 
+  /** Thread-local (lat, lng) scratch for generated code — the codegen'd
+    * encoders write the transform result here instead of allocating a
+    * 2-array per row.
+    */
+  private val tlBuf = ThreadLocal.withInitial[Array[Double]](() => new Array[Double](2))
+  def tlLatLng(): Array[Double] = tlBuf.get()
+
   /** WGS84 (degrees) -> BNG (metres): quasi-Newton inverse of
     * [[bngToWgs84Deg]] with a numeric Jacobian — the forward map is
     * near-affine over the canvas, so 3-4 iterations reach sub-millimetre.
