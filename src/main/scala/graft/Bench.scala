@@ -73,6 +73,40 @@ object Bench {
     n / secs
   }
 
+  /** North-star-width variant of the kernel: every record indexed into
+    * H3 at EVERY res 7-12 (finest direct, parents derived) plus S2
+    * level 12 — the indexing width the north rule names — then the same
+    * cell join + per-tile aggregation (distinct cells at coarsest and
+    * finest res). This is the SCALING-GATE kernel: its per-row compute
+    * reflects the real pipeline's full indexing work.
+    */
+  def spatialPipelineThroughputMultiRes(spark: SparkSession, n: Long): Double = {
+    val path = materializeWebTable(spark, n)
+    val polys = polygonDims(spark)
+    val t0 = System.nanoTime()
+    val pages = spark.read.parquet(path)
+      .withColumn("__cells__",
+        graft.index.IndexExpressions.spherical_cells_multi(col("x"), col("y"), 7, 12, 12))
+      .withColumn("h3_12", col("__cells__.h3s")(0))
+      .withColumn("h3_7", col("__cells__.h3s")(5))
+      .withColumn("s2_12", col("__cells__.s2"))
+      .drop("__cells__")
+    val joined = SpatialJoin.pointInPolygon(
+      pages, "x", "y",
+      polys, "geometry", resolution = 10000L,
+      broadcastPolys = true, predicate = "covers")
+    val tiles = joined
+      .withColumn("bng10", bng_index_point(col("x"), col("y"), 10000L))
+      .groupBy(col("bng10"))
+      .agg(count(lit(1)).as("rows_in_tile"),
+        approx_count_distinct(col("h3_7")).as("h3_coarse"),
+        approx_count_distinct(col("h3_12")).as("h3_fine"),
+        approx_count_distinct(col("s2_12")).as("s2_cells"))
+    tiles.write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
+    n / secs
+  }
+
   /** Rasterization throughput: N small polygons burned through the full
     * tile pipeline (stats job, tile shuffle, scanline burn at 10 m cells,
     * region writes). The reference runs this kernel through Python
@@ -211,6 +245,12 @@ object Bench {
     (1 to 3).foreach(_ => spatialPipelineThroughput(spark, benchRows))
     val rowsPerSec = (1 to 3).map(_ => spatialPipelineThroughput(spark, benchRows)).max
 
+    // north-star-width variant (H3 res 7-12 + S2 per row) — the scaling
+    // gate's kernel; recorded here for round-over-round comparability
+    spatialPipelineThroughputMultiRes(spark, benchRows) // warm
+    val multiResRowsPerSec =
+      (1 to 2).map(_ => spatialPipelineThroughputMultiRes(spark, benchRows)).max
+
     // rasterize kernel throughput (geometries/sec through the tile sink)
     rasterizeThroughput(spark, 20000L) // warm
     val rasterRowsPerSec = (1 to 2).map(_ =>
@@ -239,7 +279,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,8 +61,19 @@ object GraftFunctions {
       graft.ops.MinHashSig(es(0), litLong(es(1), "numHashes").toInt,
         litLong(es(2), "shingleWidth").toInt)),
     "simhash64" -> ((es: Seq[Expression]) => graft.ops.SimHash64(es(0))),
+    "simhash_md5_60" -> ((es: Seq[Expression]) => graft.ops.SimHashMd5(es(0))),
     "jaccard_shingles" -> ((es: Seq[Expression]) =>
-      graft.ops.JaccardShingles(es(0), es(1), es(2)))
+      graft.ops.JaccardShingles(es(0), es(1), es(2))),
+    "cosine_sim" -> ((es: Seq[Expression]) => graft.ops.CosineSim(es(0), es(1))),
+    "st_geom_key" -> ((es: Seq[Expression]) => graft.geo.StGeomKey(es(0))),
+    "bng_index_ids" -> ((es: Seq[Expression]) =>
+      graft.index.BngIndexIdsExpr(es(0), litLong(es(1), "resolution"),
+        if (es.length > 2) litStr(es(2), "intersects") else "intersects")),
+    "bng_index_flags" -> ((es: Seq[Expression]) =>
+      graft.index.BngIndexFlagsExpr(es(0), litLong(es(1), "resolution"))),
+    "spherical_cells" -> ((es: Seq[Expression]) =>
+      graft.index.SphericalCells(es(0), es(1), litLong(es(2), "h3Res").toInt,
+        litLong(es(3), "s2Level").toInt))
   )
 
   def register(spark: SparkSession): Unit =

@@ -75,6 +75,48 @@ object IndexExpressions {
     */
   def spherical_cells(x: Column, y: Column, h3Res: Int, s2Level: Int): Column =
     toCol(SphericalCells(expr(x), expr(y), h3Res, s2Level))
+
+  /** Full north-star indexing width: ONE datum transform feeding H3 ids
+    * at every res in [resFrom, resTo] (7-12 per the north rule) plus the
+    * S2 cell — struct<h3s: array<long>, s2: long>. The finest res is
+    * computed once and coarser ids derive via the parent walk (cheaper
+    * than re-indexing per res).
+    */
+  def spherical_cells_multi(x: Column, y: Column, resFrom: Int, resTo: Int,
+      s2Level: Int): Column =
+    toCol(SphericalCellsMulti(expr(x), expr(y), resFrom, resTo, s2Level))
+}
+
+/** (easting, northing) -> struct(h3s: array(resTo-resFrom+1 ids, finest
+  * first), s2: long); one transform, one finest-res hex index, parents
+  * derived upward.
+  */
+case class SphericalCellsMulti(left: Expression, right: Expression,
+    resFrom: Int, resTo: Int, s2Level: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(resFrom <= resTo, "resFrom must be <= resTo")
+  override def dataType: DataType = StructType(Seq(
+    StructField("h3s", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("s2", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val ll = Transform.tlLatLng()
+    Transform.bngToWgs84DegInto(x.asInstanceOf[Double], y.asInstanceOf[Double], ll)
+    val n = resTo - resFrom + 1
+    val ids = new Array[Long](n)
+    var id = H3.cellId(ll(0), ll(1), resTo)
+    ids(0) = id
+    var r = resTo - 1
+    while (r >= resFrom) {
+      id = H3.parent(id, r)
+      ids(resTo - r) = id
+      r -= 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(ids), S2.cellId(ll(0), ll(1), s2Level)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** (easting, northing) -> struct(h3: Long, s2: Long) with ONE datum

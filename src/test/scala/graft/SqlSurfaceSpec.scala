@@ -24,6 +24,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(graft.index.S2.level(r.getLong(7)) == 12)
   }
 
+  test("round-2 kernels reachable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |       simhash_md5_60('a b c') AS shm,
+        |       st_geom_key(st_point(1.0D, 2.0D)) AS gk,
+        |       size(bng_index_ids(st_geomfromtext(
+        |         'POLYGON ((395000 395000, 415000 395000, 415000 405000, 395000 405000, 395000 395000))'),
+        |         10000, 'intersects')) AS n_ids,
+        |       spherical_cells(530000.0D, 180000.0D, 9, 12) AS cells,
+        |       size(bng_index_flags(st_geomfromtext(
+        |         'POLYGON ((390000 390000, 410000 390000, 410000 400000, 390000 400000, 390000 390000))'),
+        |         10000)) AS n_flags
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) != 0L && (r.getLong(1) >>> 60) == 0L) // 60-bit
+    assert(r.getLong(2) == graft.geo.StGeomKey(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        graft.geo.Wkb.write(graft.geo.Wkb.point(1, 2)))).eval(null))
+    assert(r.getInt(3) == 6)
+    val cells = r.getStruct(4)
+    assert(graft.index.H3.resOf(cells.getLong(0)) == 9)
+    assert(graft.index.S2.level(cells.getLong(1)) == 12)
+    assert(r.getInt(5) == 6) // grid-aligned 2x1: 2 contained + 4 touch cells
+  }
+
   test("SQL spatial predicate + cell explode compose in a query") {
     GraftFunctions.register(spark)
     spark.sql(
