@@ -51,6 +51,18 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(t.read(spark).count() == 10)
     assert(t.read(spark, Some(v1)).count() == 150)   // old snapshots intact
     assert(t.manifest(v2).parent == v1)
+
+    // incremental (CDC-style) scan: only the delta files between snapshots
+    assert(t.readIncremental(spark, v0, Some(v1)).count() == 50)
+    assert(t.readIncremental(spark, v0, Some(v0)).count() == 0)
+    // the empty delta still carries the table schema
+    assert(t.readIncremental(spark, v0, Some(v0)).columns.contains("url"))
+    // an overwrite inside the range breaks lineage: everything is new
+    assert(t.readIncremental(spark, v1, Some(v2)).count() == 10)
+    // delta rows are exactly the v1-prefixed batch, not a re-read of v0
+    val delta = t.readIncremental(spark, v0, Some(v1))
+    assert(delta.filter(org.apache.spark.sql.functions
+      .col("url").startsWith("v1-")).count() == 50)
   }
 
   test("pipeline resume skips committed stages") {
