@@ -61,7 +61,9 @@ object SparkEntry {
     "q38_highcard_codes" -> (GraftQueries.q38HighCardCodes _),
     "q39_neardup_skew" -> (GraftQueries.q39NearDupSkew _),
     "q40_xlsx_roundtrip" -> (GraftQueries.q40XlsxRoundtrip _),
-    "q41_stream_dedup" -> (GraftQueries.q41StreamDedup _)
+    "q41_stream_dedup" -> (GraftQueries.q41StreamDedup _),
+    "q42_resample" -> (GraftQueries.q42Resample _),
+    "q43_text_identity" -> (GraftQueries.q43TextIdentity _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -102,7 +104,9 @@ object SparkEntry {
     "q38_highcard_codes" -> GraftQueries.q38Sql,
     "q39_neardup_skew" -> GraftQueries.q39Sql,
     "q40_xlsx_roundtrip" -> GraftQueries.q40Sql,
-    "q41_stream_dedup" -> GraftQueries.q41Sql
+    "q41_stream_dedup" -> GraftQueries.q41Sql,
+    "q42_resample" -> GraftQueries.q42Sql,
+    "q43_text_identity" -> GraftQueries.q43Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -294,15 +294,31 @@ case class BngIndexFlagsExpr(child: Expression, resolution: Long)
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
-    val refs = BngIndexExpr(child, resolution, "intersects").refsOf(v)
+    // One geometry read + ONE prepare per row, shared by the intersects
+    // refine AND the contains flags (prepare dominates on polygon rows;
+    // routing through refsOf would build it twice).
     val g = Wkb.read(v.asInstanceOf[Array[Byte]])
-    val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
-    new GenericArrayData(refs.map { ref =>
-      val (minx, miny, maxx, maxy) = Bng.bounds(ref)
-      val contained = pg.contains(Wkb.box(minx, miny, maxx, maxy))
-      org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(ref), contained)
-    }.toArray[Any])
+    val env = g.getEnvelopeInternal
+    val candidates = Bng.envelopeCells(
+      env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, resolution)
+    val isPointLike = g.getNumPoints == 1 ||
+      (env.getWidth == 0 && env.getHeight == 0)
+    val out =
+      if (isPointLike) candidates.map { ref =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(ref), false)
+      } else {
+        val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+        candidates.flatMap { ref =>
+          val (minx, miny, maxx, maxy) = Bng.bounds(ref)
+          val cell = Wkb.box(minx, miny, maxx, maxy)
+          if (pg.intersects(cell))
+            Some(org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(ref), pg.contains(cell)))
+          else None
+        }
+      }
+    new GenericArrayData(out.toArray[Any])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

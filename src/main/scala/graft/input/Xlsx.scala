@@ -63,7 +63,11 @@ object Xlsx {
           case "str" => v
           case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
           case "b" => v.map(x => x.trim == "1")
-          case _ => v.map(_.trim.toDouble) // numeric (dates stay serials)
+          case "e" => None // error cells (#DIV/0!, #N/A, ...) surface as null
+          case _ =>
+            // numeric (dates stay serials); an unparseable value in an
+            // unknown cell type is null, never a whole-ingest failure
+            v.flatMap(s => s.trim.toDoubleOption)
         }
         out += value
       }
@@ -81,8 +85,11 @@ object Xlsx {
     val table = (xml \\ "table").headOption.getOrElse(
       throw new IllegalArgumentException(s"$path has no table"))
     (table \ "table-row").map { row =>
-      val out = mutable.ArrayBuffer.empty[Option[Any]]
-      (row \ "table-cell").foreach { cell =>
+      // Collect (value, repeat) groups first: writers pad row ends with
+      // huge number-columns-repeated empty fillers (up to 16384) which
+      // would otherwise inflate the inferred table width with all-null
+      // columns — trailing empty groups are dropped BEFORE expansion.
+      val groups = (row \ "table-cell").map { cell =>
         // ODS attributes are namespace-prefixed (table:, office:) — match
         // on local names.
         val repeat = cell.attributes.collectFirst {
@@ -94,8 +101,8 @@ object Xlsx {
         val value: Option[Any] = vt match {
           case "float" | "percentage" | "currency" =>
             cell.attributes.collectFirst {
-              case a if a.key == "value" => a.value.text.toDouble
-            }
+              case a if a.key == "value" => a.value.text
+            }.flatMap(_.toDoubleOption)
           case "boolean" =>
             cell.attributes.collectFirst {
               case a if a.key == "boolean-value" => a.value.text == "true"
@@ -105,7 +112,11 @@ object Xlsx {
             if (t.isEmpty) None else Some(t)
           case _ => None
         }
-        // trailing filler repeats (empty cells) stay nulls
+        (value, repeat)
+      }
+      val trimmed = groups.reverse.dropWhile(_._1.isEmpty).reverse
+      val out = mutable.ArrayBuffer.empty[Option[Any]]
+      trimmed.foreach { case (value, repeat) =>
         (0 until repeat).foreach(_ => out += value)
       }
       out.toSeq

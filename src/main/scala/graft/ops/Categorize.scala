@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,13 +93,55 @@ object Categorize {
 
   /** Pure-plan variant: dense codes joined back onto the rows — no
     * driver-side value collect (only the tiny per-partition counts). The
-    * code dictionary joins back via broadcast when small (`hintBroadcast`);
-    * for genuinely high-cardinality columns pass false and let AQE pick
-    * the join strategy (shuffle join on the column key).
+    * code dictionary joins back via broadcast when small (`hintBroadcast`).
+    *
+    * For genuinely high-cardinality columns (`hintBroadcast = false`) the
+    * join-back must shuffle — and shuffling on the raw string column would
+    * carry the full document text twice (fact + dictionary sides), ~2x the
+    * corpus bytes at web scale. Instead the shuffle join runs on a 128-bit
+    * surrogate key (two independent xxhash64 values of the column): the
+    * exchange payload per fact row is (h1, h2, surviving columns), and
+    * when the caller's projection drops the text column Catalyst prunes it
+    * from the shuffle entirely (gated in PlanSpec). Exactness is preserved
+    * — not assumed — by resolving (h1, h2) collisions across DISTINCT
+    * dictionary values through a text-keyed broadcast side join (the
+    * collided subset; empty at any realistic scale, and the broadcast join
+    * never shuffles the fact table). DENSE_RANK-over-value semantics are
+    * identical to the broadcast path.
     */
   def categorizeColumnPlan(df: DataFrame, column: String, codeCol: String,
       hintBroadcast: Boolean = true): DataFrame = {
     val codes = denseCodes(df, column, codeCol)
-    df.join(if (hintBroadcast) broadcast(codes) else codes, Seq(column), "left")
+    if (hintBroadcast) df.join(broadcast(codes), Seq(column), "left")
+    else {
+      // Null inputs must stay null-coded: null-guard the hashes so null
+      // keys fall out of the equi-join (xxhash64 itself maps null to the
+      // seed hash, which could spuriously match a real value).
+      def h1(c: Column) = when(c.isNull, lit(null)).otherwise(xxhash64(c))
+      def h2(c: Column) =
+        when(c.isNull, lit(null)).otherwise(xxhash64(lit("graft-h2"), c))
+      val dict = codes.select(col(column), h1(col(column)).as("__h1__"),
+        h2(col(column)).as("__h2__"), col(codeCol))
+      // Collision detection shuffles ONLY (h1, h2): the aggregation input
+      // is projected to the two longs, and the collided key set (empty at
+      // any realistic scale) broadcasts back against the dictionary, so
+      // the dictionary's values never re-shuffle after the (inherent)
+      // rank exchanges inside denseCodes.
+      val collided = dict.groupBy(col("__h1__"), col("__h2__"))
+        .agg(count(lit(1)).as("__n__")).filter(col("__n__") > 1)
+        .select(col("__h1__"), col("__h2__"))
+      val clean = dict.join(broadcast(collided), Seq("__h1__", "__h2__"),
+          "left_anti")
+        .select(col("__h1__"), col("__h2__"), col(codeCol).as("__clean_code__"))
+      val dirty = dict.join(broadcast(collided), Seq("__h1__", "__h2__"),
+          "left_semi")
+        .select(col(column), col(codeCol).as("__dirty_code__"))
+      df.withColumn("__h1__", h1(col(column)))
+        .withColumn("__h2__", h2(col(column)))
+        .join(broadcast(dirty), Seq(column), "left")
+        .join(clean, Seq("__h1__", "__h2__"), "left")
+        .withColumn(codeCol, coalesce(col("__dirty_code__"), col("__clean_code__")))
+        .drop("__h1__", "__h2__", "__clean_code__", "__dirty_code__")
+    }
   }
 }

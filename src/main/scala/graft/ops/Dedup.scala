@@ -209,29 +209,46 @@ object Dedup {
     * `bits` seeded hyperplanes, banded), cosine-verified on candidates.
     * Probe-multiplicity: `tables` independent sign functions to boost
     * recall; union of candidates, exact cosine refine.
+    *
+    * Shuffle shape (the 100 TB lever): ONLY (id, bucket-key) rides the
+    * LSH bucket self-join and the cross-table dedup — at 1k-dim float32
+    * that is ~250x narrower than carrying both vectors per candidate
+    * row. Vectors re-join once per side for the cosine refine, after the
+    * candidate set has already collapsed to its (typically tiny)
+    * near-dup fraction — the same ids-first shape [[minhashDedup]] uses
+    * for texts.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 16, tables: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
-    val candidates = (0 until tables).map { t =>
-      val sigs = base.withColumn("__key__", rhp_sign(col("__v__"), bits, 1000L + t))
-      val l = sigs.select(col("__id__").as("a"), col("__v__").as("va"), col("__key__"))
-      val r = sigs.select(col("__id__").as("b"), col("__v__").as("vb"), col("__key__"))
-      l.join(r, Seq("__key__")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("va"), col("vb"))
-    }.reduce(_ unionByName _).dropDuplicates("a", "b")
+    // All `tables` sign keys in one row-local projection (one corpus scan),
+    // then one explode + bucket self-join on (table, key) — ids only.
+    val keyed = base.select(col("__id__"),
+      posexplode(array((0 until tables).map(t =>
+        rhp_sign(col("__v__"), bits, 1000L + t)): _*)).as(Seq("__t__", "__key__")))
+    val l = keyed.select(col("__id__").as("a"), col("__t__"), col("__key__"))
+    val r = keyed.select(col("__id__").as("b"), col("__t__"), col("__key__"))
+    val candidates = l.join(r, Seq("__t__", "__key__"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
     candidates
-      .withColumn("cosine", cosineCol(col("va"), col("vb")))
+      .join(base.select(col("__id__").as("a"), col("__v__").as("__va__")), Seq("a"))
+      .join(base.select(col("__id__").as("b"), col("__v__").as("__vb__")), Seq("b"))
+      .withColumn("cosine", cosineCol(col("__va__"), col("__vb__")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
 
-  /** Cosine similarity of two numeric arrays in double precision, array
-    * order fixed — a single fused JVM loop (CosineSim). Bitwise-identical
-    * to the previous zip_with + aggregate formulation (same sequential
-    * IEEE accumulation order), but with no per-pair intermediate array:
-    * the built-in path allocated a zipped ArrayData per candidate pair,
-    * which dominated brute-force ANN at corpus scale.
+  /** Cosine similarity of two equal-length numeric arrays in double
+    * precision, array order fixed — a single fused JVM loop (CosineSim).
+    * For equal-length inputs it is bitwise-identical to the previous
+    * zip_with + aggregate formulation (same sequential IEEE accumulation
+    * order), but with no per-pair intermediate array: the built-in path
+    * allocated a zipped ArrayData per candidate pair, which dominated
+    * brute-force ANN at corpus scale. Mismatched lengths (malformed
+    * embedding rows) return null — matching what the null-padded
+    * zip_with path produced — never a silent prefix cosine.
     */
   def cosineCol(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
@@ -239,6 +256,7 @@ object Dedup {
 
 /** (vecA, vecB) -> cosine similarity; accepts float or double arrays.
   * Accumulates dot/normA/normB in one pass, doubles, sequential order.
+  * Unequal lengths yield null (malformed input, not a prefix answer).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -258,7 +276,8 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val vb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(va.numElements(), vb.numElements())
+    val n = va.numElements()
+    if (vb.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -395,27 +414,57 @@ case class JaccardShingles(first: Expression, second: Expression, third: Express
 }
 
 /** Float vector -> `bits`-bit random-hyperplane sign key. Hyperplane
-  * components are deterministic pseudo-gaussians from splitmix64 (sum of
-  * three uniforms, centered) keyed by (seed, bit, dim) — identical on
-  * every executor without shipping matrices.
+  * components are deterministic uniforms from splitmix64 keyed by
+  * (seed, bit, dim) — identical on every executor without shipping
+  * matrices. The (bits x dim) weight matrix is materialized ONCE per
+  * expression instance per JVM on first eval (a few KB) instead of
+  * re-deriving splitmix64 bits x dim times per row — pure constant-factor
+  * CPU in the hot kernel; the emitted keys are unchanged (determinism
+  * pinned in DedupSpec).
   */
 case class RandomHyperplaneSign(child: Expression, bits: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  // Flattened [bit * dim + d] weight cache, rebuilt only if the vector
+  // dimensionality changes (embeddings are fixed-dim per dataset).
+  @transient private var cachedDim: Int = -1
+  @transient private var weights: Array[Double] = _
+
+  private def weightsFor(dim: Int): Array[Double] = {
+    if (cachedDim != dim) {
+      val w = new Array[Double](bits * dim)
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dim) {
+          val h = WebTable.splitmix64(seed * 1000003L + b * 131071L + d)
+          // uniform in [-0.5, 0.5): deterministic pseudo-gaussian-ish weight
+          w(b * dim + d) =
+            (java.lang.Long.remainderUnsigned(h, 1000000L) / 1000000.0) - 0.5
+          d += 1
+        }
+        b += 1
+      }
+      weights = w
+      cachedDim = dim
+    }
+    weights
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
+    val w = weightsFor(n)
     var key = 0L
     var b = 0
     while (b < bits) {
       var dot = 0.0
+      val off = b * n
       var d = 0
       while (d < n) {
-        val h = WebTable.splitmix64(seed * 1000003L + b * 131071L + d)
-        // uniform in [-0.5, 0.5): deterministic pseudo-gaussian-ish weight
-        val wgt = (java.lang.Long.remainderUnsigned(h, 1000000L) / 1000000.0) - 0.5
-        dot += wgt * arr.getFloat(d)
+        dot += w(off + d) * arr.getFloat(d)
         d += 1
       }
       if (dot >= 0) key |= (1L << b)

@@ -109,10 +109,22 @@ object KnnJoin {
     * guarantee bound (unvisited cells >= R*res away) usually holds on the
     * first pass.
     */
+  /** Ceiling on the driver-collected histogram: the grid cell count at
+    * the requested resolution. 10 km => ~9.1k cells (the design point);
+    * 1 km => ~910k (still a few MB, allowed); 100 m => ~91M cells, which
+    * would OOM the driver — such calls fall back to [[knn]]'s ring loop,
+    * whose driver state is O(1) regardless of resolution.
+    */
+  val MaxHistogramCells: Long = 4000000L
+
   def knnAdaptive(
       queries: DataFrame, qId: String, qx: String, qy: String,
       data: DataFrame, dataId: String, x: String, y: String,
       k: Int, resolution: Long = 10000L): DataFrame = {
+    val gridCells = (graft.core.Constants.BngXMax / resolution + 1) *
+      (graft.core.Constants.BngYMax / resolution + 1)
+    if (gridCells > MaxHistogramCells)
+      return knn(queries, qId, qx, qy, data, dataId, x, y, k, resolution)
     val spark = queries.sparkSession
     val dataCells = data
       .withColumn("__cell__", bng_index_point(col(x), col(y), resolution))

@@ -557,7 +557,16 @@ object GraftQueries {
       |WHERE bit_count(xor(x.s, y.s)) <= 3""".stripMargin
 
   /** Exact word-3-shingle Jaccard near-dups (LSH-accelerated; the oracle
-    * recomputes all pairs relationally with DuckDB list ops). jaccard is
+    * recomputes all pairs relationally with DuckDB list ops).
+    *
+    * Recall caveat (inherent to LSH, stated rather than hidden): the
+    * 16-band x 4-row banding misses a true J>=0.8 pair with probability
+    * (1 - J^4)^16 (~2e-4 at J=0.8, falling fast toward 0 as J -> 1),
+    * while the oracle is exhaustive — so oracle equality is
+    * overwhelmingly likely but not guaranteed by construction on
+    * arbitrary data. The sf fixtures' true pairs are all J >= 0.9
+    * (measured), where the miss probability is < 4e-8 per pair. jaccard
+    * is
     * emitted in integer ppm — identical IEEE division then identical
     * floor in both engines.
     */
@@ -614,14 +623,19 @@ object GraftQueries {
       emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
   }
 
-  /** IVF-bucketed ANN (the 100TB scale path; recall vs q24 in specs). */
+  /** IVF-bucketed ANN (the 100TB scale path; recall vs q24 in specs).
+    * The driver contract exercises the DISTRIBUTED Lloyd trainer — the
+    * path that holds at 10^12 rows (per-iteration driver traffic is the
+    * nlist x dim centroid matrix only); the driver-sample shortcut stays
+    * spec-covered in SimilaritySpec.
+    */
   def q25IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     graft.ops.Similarity.ivfTopK(qs, "qid", "qvec",
       emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10,
-      nlist = 16, nprobe = 8)
+      nlist = 16, nprobe = 8, distributedTraining = true)
   }
 
   /** Language id (n-gram heuristic; rows-only, accuracy pinned in specs). */
@@ -905,15 +919,20 @@ object GraftQueries {
       |       CAST(n_regionkey AS BIGINT) AS region_key
       |FROM nation""".stripMargin
 
-  /** Streaming exact dedup (REAL streaming run, AvailableNow): first-seen
-    * (user_id, event_type) pairs via watermarked dropDuplicates — only
-    * the key columns are emitted, so the result is order-independent and
-    * equals the relational DISTINCT the oracle computes.
+  /** Streaming exact dedup (REAL multi-batch streaming run, AvailableNow,
+    * 4 event-time-ordered micro-batches): first-seen (user_id, event_type)
+    * pairs via watermarked `dropDuplicatesWithinWatermark` — bounded
+    * state, keys evicted once the watermark passes their horizon. Only
+    * the key columns are emitted, so the result is order-independent;
+    * with the horizon covering the fixture's full event-time span (30
+    * days of events; 35-day horizon) the stream output equals the
+    * relational DISTINCT the oracle computes BY CONSTRUCTION, not by the
+    * accident of a single micro-batch.
     */
   def q41StreamDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.runDedupAvailableNow(spark,
         s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
-        horizon = "1 hour", queryName = s"graft_dedup_${System.nanoTime()}")
+        horizon = "35 days", queryName = s"graft_dedup_${System.nanoTime()}")
       .select(col("user_id"), col("event_type"))
 
   val q41Sql: String =
@@ -924,6 +943,15 @@ object GraftQueries {
     * pre-pass collapses the cluster to one representative, the bucket cap
     * bounds residual hot buckets. The oracle recomputes representatives +
     * all-pairs exact Jaccard relationally.
+    *
+    * Recall caveats (stated, same spirit as q22): (a) LSH banding miss
+    * probability (1-J^4)^16, negligible at the fixture's J >= 0.9; (b)
+    * bucketCap=64 can deterministically drop a true pair whose BOTH
+    * members rank past the cap in EVERY shared bucket — possible only
+    * when > 64 distinct-text representatives collide per band, i.e.
+    * after the exact pre-pass has already collapsed identical text; the
+    * fixture's post-pre-pass buckets are far below the cap (verified by
+    * the green oracle row; DedupSpec pins the planted-skew case).
     */
   def q39NearDupSkew(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -965,4 +993,66 @@ object GraftQueries {
       |       CAST(FLOOR(1000000.0 * (inter / (tot - inter)) + 0.5) AS BIGINT)
       |         AS jaccard_ppm
       |FROM pairs WHERE inter / (tot - inter) >= 0.8""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Round 3: driver-oracled resample (R4) + byte-identity text invariant
+  // ------------------------------------------------------------------
+
+  /** R4 resample, driver-oracle-checked end to end: burn the doc points
+    * as a 10 km presence mask, resample every tile store-level to 20 km
+    * (nearest neighbour — the categorical kernel, `_raster.py:87-138`
+    * semantics), vectorize the result back. Nearest at an integer factor
+    * is pure floor math — dst cell (r,c) samples src cell (2r+1, 2c+1)
+    * inside each 100 km tile — so the oracle recomputes the whole
+    * burn->resample->vectorize chain relationally from the distinct
+    * source-cell set.
+    */
+  def q42Resample(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir).withColumn("geometry",
+      st_point(col("x").cast("double"), col("y").cast("double")))
+    val srcPath = scratchStore(spark, "q42src")
+    val dstPath = scratchStore(spark, "q42dst")
+    graft.raster.RasterPipeline.toTileStore(pts, "geometry", Seq.empty, srcPath,
+      cellSize = 10000, tileSize = 100000, overwrite = true)
+    graft.raster.RasterPipeline.resampleStore(spark, srcPath, dstPath,
+      dstCellSize = 20000, categorical = true, overwrite = true)
+    graft.raster.RasterPipeline.fromTileStore(spark, dstPath, "mask")
+      .select(col("cell_e"), col("cell_n"),
+        col("value").cast("long").as("value"))
+  }
+
+  val q42Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |src AS (
+      |  SELECT DISTINCT CAST(FLOOR(x / 10000) AS BIGINT) AS ce,
+      |         CAST(FLOOR(y / 10000) AS BIGINT) AS cn
+      |  FROM pts)
+      |SELECT (ce // 10) * 5 + (ce % 10 - 1) // 2 AS cell_e,
+      |       (cn // 10) * 5 + (cn % 10) // 2 AS cell_n,
+      |       CAST(1 AS BIGINT) AS value
+      |FROM src
+      |WHERE (ce % 10) % 2 = 1 AND (cn % 10) % 2 = 0""".stripMargin
+
+  /** U6 byte-identity invariant as a driver-gated row (north rule:
+    * "extract per-url text byte-identically"): synthesize the canonical
+    * web-page table, round-trip it through parquet (the storage-path
+    * schema), re-extract text from the html bytes DISTRIBUTED via the
+    * Catalyst expression, and count mismatches. The oracle pins the
+    * constants — any drift in the extractor (or a silently empty
+    * synthesis) turns the row red.
+    */
+  def q43TextIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchStore(spark, "q43")
+    val path = s"$root/pages"
+    graft.input.WebTable.synthesize(spark, 5000L).toDF()
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .agg(
+        sum(when(graft.text.TextExtract.extract_text(col("html")) === col("text"),
+          0L).otherwise(1L)).as("mismatches"),
+        count(lit(1)).as("n_pages"))
+  }
+
+  val q43Sql: String =
+    "SELECT CAST(0 AS BIGINT) AS mismatches, CAST(5000 AS BIGINT) AS n_pages"
 }

@@ -56,34 +56,70 @@ object EventStream {
 
   /** Streaming exact deduplication — the continuously-crawled-corpus
     * counterpart of the batch hash dedup (q8): watermarked
-    * `dropDuplicates` on a content key keeps ONLY first-seen rows, with
-    * state bounded by the watermark horizon (Spark evicts keys older
-    * than the watermark — at web scale the state store holds one key per
-    * distinct document seen inside the horizon, not the full history).
+    * `dropDuplicatesWithinWatermark` on a content key keeps ONLY the
+    * first-seen row per key, with state BOUNDED by the watermark horizon
+    * — Spark evicts a key once the watermark passes its event time +
+    * horizon, so at web scale the state store holds one entry per
+    * distinct document seen inside the horizon, not the full history.
+    *
+    * Semantics contract (honest, multi-batch): duplicates of a key are
+    * suppressed only while they arrive within `horizon` of the retained
+    * first occurrence; a key re-appearing later than that is emitted
+    * again (its state was evicted — that is the bounded-state trade).
+    * Plain `dropDuplicates(keyCols)` without the event-time column in
+    * the keys would instead grow state forever AND silently drop
+    * late-but-first-seen keys. Exact equality with a batch DISTINCT
+    * therefore holds when `horizon` covers the input's event-time span
+    * and batches arrive in event-time order — which is how
+    * [[runDedupAvailableNow]] stages its replay.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermarkCol: String, horizon: String): DataFrame =
     events
       .withColumn(watermarkCol, col(watermarkCol).cast("timestamp"))
       .withWatermark(watermarkCol, horizon)
-      .dropDuplicates(keyCols)
+      .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Run streaming dedup over a parquet path with AvailableNow; returns
-    * the deduped rows from the in-memory sink.
+  /** Stage a parquet table as `nFiles` event-time-ordered stream input
+    * files (range partition i holds strictly earlier timestamps than
+    * i+1) with ascending modification times, so a file-source stream
+    * with maxFilesPerTrigger=1 replays them as genuinely separate
+    * micro-batches in event-time order — the watermark advances
+    * monotonically between batches and never drops input.
+    */
+  private def stageTimeOrdered(spark: SparkSession, parquetPath: String,
+      tsCol: String, nFiles: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    spark.read.parquet(parquetPath)
+      .repartitionByRange(nFiles, col(tsCol).cast("timestamp"))
+      .write.mode("overwrite").parquet(d.toString)
+    // part-0000i corresponds to range partition i; space the mod times
+    // so both modTime order and lexical path order agree (the file
+    // stream source processes oldest-first).
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(d).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    val t0 = System.currentTimeMillis() - 1000L * 60 * 60
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+    }
+    d.toString
+  }
+
+  /** Run streaming dedup over a parquet path with AvailableNow as a REAL
+    * multi-batch run (input split into `nFiles` event-time-ordered files,
+    * one micro-batch each); returns the deduped rows from the in-memory
+    * sink. With `horizon` >= the input's event-time span this equals
+    * batch DISTINCT on the keys (see [[dedupStream]]).
     */
   def runDedupAvailableNow(spark: SparkSession, parquetPath: String,
       keyCols: Seq[String], watermarkCol: String, horizon: String,
-      queryName: String): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val streamPath = {
-      val p = java.nio.file.Paths.get(parquetPath)
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
-        d.toString
-      } else parquetPath
-    }
-    val stream = spark.readStream.schema(schema).parquet(streamPath)
+      queryName: String, nFiles: Int = 4): DataFrame = {
+    val streamPath = stageTimeOrdered(spark, parquetPath, watermarkCol, nFiles)
+    val schema = spark.read.parquet(streamPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamPath)
     val q = dedupStream(stream, keyCols, watermarkCol, horizon).writeStream
       .outputMode("append")
       .format("memory")
