@@ -215,6 +215,33 @@ object Bench {
     (nq / tb, nq / ti)
   }
 
+  /** Random-hyperplane sign-key throughput (rows/sec): the row-local LSH
+    * kernel of the embedding near-dup path — 16 bits x 4 tables over a
+    * dim-64 float corpus, measuring the cached-weight-matrix expression
+    * (round 3: matrix materialized once per JVM instead of splitmix64
+    * bits*dim calls per row).
+    */
+  def rhpThroughput(spark: SparkSession, n: Long): Double = {
+    import spark.implicits._
+    val dim = 64
+    val corpus = spark.range(0L, n, 1L, 64).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        val h = WebTable.splitmix64(i * 2099L + d)
+        (java.lang.Long.remainderUnsigned(h, 2000L) / 1000.0f) - 1.0f
+      })
+    }.toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet("/tmp/graft-bench-rhp")
+    val src = spark.read.parquet("/tmp/graft-bench-rhp")
+    val t0 = System.nanoTime()
+    src.select(col("vec_id"),
+        posexplode(array((0 until 4).map(t =>
+          graft.ops.Dedup.rhp_sign(col("embedding"), 16, 1000L + t)): _*))
+          .as(Seq("t", "key")))
+      .groupBy(col("t")).agg(count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -265,6 +292,11 @@ object Bench {
     annThroughput(spark, 50000L) // warm
     val (bruteQps, ivfQps) = annThroughput(spark, cpusForSizing.toLong * 16000L)
 
+    // row-local RHP sign-key kernel (cached weight matrix)
+    rhpThroughput(spark, 100000L) // warm
+    val rhpRowsPerSec = (1 to 2).map(_ =>
+      rhpThroughput(spark, cpusForSizing.toLong * 30000L)).max
+
     // per-query catalogue timings: best-of-2 — a single-shot number is
     // noise-prone (JIT, page cache, GC) and a one-off 15x outlier in the
     // recorded JSON sends later rounds chasing phantom regressions.
@@ -279,7 +311,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,7 +63,8 @@ object SparkEntry {
     "q40_xlsx_roundtrip" -> (GraftQueries.q40XlsxRoundtrip _),
     "q41_stream_dedup" -> (GraftQueries.q41StreamDedup _),
     "q42_resample" -> (GraftQueries.q42Resample _),
-    "q43_text_identity" -> (GraftQueries.q43TextIdentity _)
+    "q43_text_identity" -> (GraftQueries.q43TextIdentity _),
+    "q44_spherical_radius" -> (GraftQueries.q44SphericalRadius _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -106,7 +107,8 @@ object SparkEntry {
     "q40_xlsx_roundtrip" -> GraftQueries.q40Sql,
     "q41_stream_dedup" -> GraftQueries.q41Sql,
     "q42_resample" -> GraftQueries.q42Sql,
-    "q43_text_identity" -> GraftQueries.q43Sql
+    "q43_text_identity" -> GraftQueries.q43Sql,
+    "q44_spherical_radius" -> GraftQueries.q44Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

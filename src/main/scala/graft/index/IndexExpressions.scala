@@ -85,6 +85,27 @@ object IndexExpressions {
   def spherical_cells_multi(x: Column, y: Column, resFrom: Int, resTo: Int,
       s2Level: Int): Column =
     toCol(SphericalCellsMulti(expr(x), expr(y), resFrom, resTo, s2Level))
+
+  /** S2 cell id straight from WGS84 (latDeg, lngDeg) — the global-data
+    * twin of [[s2_index_point]] (which takes BNG metres). Used by the
+    * seam-safe spherical radius join, where inputs span the antimeridian
+    * and poles and no planar grid applies.
+    */
+  def s2_cell_lonlat(lat: Column, lng: Column, level: Int): Column =
+    toCol(S2CellLatLng(expr(lat), expr(lng), level))
+}
+
+/** (latDeg, lngDeg) -> S2 cell id at `level` (no datum transform — input
+  * is already WGS84).
+  */
+case class S2CellLatLng(left: Expression, right: Expression, level: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lat: Any, lng: Any): Any =
+    S2.cellId(lat.asInstanceOf[Double], lng.asInstanceOf[Double], level)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** (easting, northing) -> struct(h3s: array(resTo-resFrom+1 ids, finest

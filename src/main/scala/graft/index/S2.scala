@@ -209,6 +209,79 @@ object S2 {
     (face, step, iMin, iMax, jMin, jMax)
   }
 
+  /** Mean Earth radius used by every spherical-distance surface in the
+    * engine (matches H3.edgeMetres' sphere).
+    */
+  val EarthRadiusMetres: Double = 6371000.0
+
+  /** Unit vector of (latDeg, lngDeg). */
+  def latLngToXyz(latDeg: Double, lngDeg: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val theta = math.toRadians(lngDeg)
+    val cosPhi = math.cos(phi)
+    (math.cos(theta) * cosPhi, math.sin(theta) * cosPhi, math.sin(phi))
+  }
+
+  /** Angle (radians) between two unit vectors — atan2 form, stable for
+    * both near-parallel and near-antipodal pairs.
+    */
+  def angleBetween(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+    val dot = a._1 * b._1 + a._2 * b._2 + a._3 * b._3
+    val cx = a._2 * b._3 - a._3 * b._2
+    val cy = a._3 * b._1 - a._1 * b._3
+    val cz = a._1 * b._2 - a._2 * b._1
+    math.atan2(math.sqrt(cx * cx + cy * cy + cz * cz), dot)
+  }
+
+  /** Cells at `level` covering the spherical cap of `radiusMetres` around
+    * (latDeg, lngDeg) — SEAM-SAFE: hierarchical subdivision from the six
+    * face cells working purely in unit-vector space, so caps spanning the
+    * antimeridian, the poles, or any face boundary are covered correctly
+    * (no face-local (i,j) arithmetic ever crosses an edge).
+    *
+    * Conservative-superset guarantee: a cell is kept iff
+    * angle(cellCenter, capCenter) <= capAngle + cellCircumradius, where
+    * the circumradius is the exact max center-to-corner geodesic (S2
+    * cells are convex spherical quads, so the farthest cell point from
+    * the center is a corner). Every cell intersecting the cap satisfies
+    * this, so no candidate is ever missed; the slack only admits a thin
+    * extra ring.
+    */
+  def coverCap(latDeg: Double, lngDeg: Double, radiusMetres: Double,
+      level: Int): Seq[Long] = {
+    require(level >= 0 && level <= MaxLevel, s"bad level $level")
+    require(radiusMetres >= 0, "negative radius")
+    val cap = latLngToXyz(latDeg, lngDeg)
+    val capAngle = radiusMetres / EarthRadiusMetres
+    val leafSpan = 1 << MaxLevel
+    val out = Seq.newBuilder[Long]
+    def unitAt(face: Int, i: Double, j: Double): (Double, Double, Double) = {
+      val u = stToUV(i / leafSpan)
+      val v = stToUV(j / leafSpan)
+      val (x, y, z) = faceUVToXYZ(face, u, v)
+      val n = math.sqrt(x * x + y * y + z * z)
+      (x / n, y / n, z / n)
+    }
+    def recurse(face: Int, i0: Int, j0: Int, size: Int, lvl: Int): Unit = {
+      val ctr = unitAt(face, i0 + size * 0.5, j0 + size * 0.5)
+      val circum = Seq((i0, j0), (i0 + size, j0), (i0, j0 + size),
+        (i0 + size, j0 + size))
+        .map { case (ii, jj) => angleBetween(unitAt(face, ii, jj), ctr) }.max
+      if (angleBetween(ctr, cap) <= capAngle + circum * 1.0000001) {
+        if (lvl == level) out += parent(fromFaceIJ(face, i0, j0), level)
+        else {
+          val h = size >> 1
+          recurse(face, i0, j0, h, lvl + 1)
+          recurse(face, i0 + h, j0, h, lvl + 1)
+          recurse(face, i0, j0 + h, h, lvl + 1)
+          recurse(face, i0 + h, j0 + h, h, lvl + 1)
+        }
+      }
+    }
+    (0 until 6).foreach(f => recurse(f, 0, 0, leafSpan, 0))
+    out.result()
+  }
+
   /** (face, u, v) -> unit vector (inverse of [[xyzToFaceUV]]). */
   def faceUVToXYZ(face: Int, u: Double, v: Double): (Double, Double, Double) =
     face match {

@@ -120,8 +120,14 @@ object Categorize {
       def h1(c: Column) = when(c.isNull, lit(null)).otherwise(xxhash64(c))
       def h2(c: Column) =
         when(c.isNull, lit(null)).otherwise(xxhash64(lit("graft-h2"), c))
+      // Materialize the (value, h1, h2, code) dictionary ONCE (eager local
+      // checkpoint, disk-spillable): it feeds three consumers (collision
+      // scan, clean, dirty) and an unmaterialized fork would replay the
+      // rank window — and its text-bearing exchange — per consumer. After
+      // this point no exchange in the join-back plan carries the values
+      // at all (gated in ScaleShapeSpec).
       val dict = codes.select(col(column), h1(col(column)).as("__h1__"),
-        h2(col(column)).as("__h2__"), col(codeCol))
+        h2(col(column)).as("__h2__"), col(codeCol)).localCheckpoint(true)
       // Collision detection shuffles ONLY (h1, h2): the aggregation input
       // is projected to the two longs, and the collided key set (empty at
       // any realistic scale) broadcasts back against the dictionary, so

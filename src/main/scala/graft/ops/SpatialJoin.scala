@@ -122,6 +122,52 @@ object SpatialJoin {
       .drop("__cell__")
   }
 
+  /** Great-circle distance in metres (haversine on the engine's shared
+    * 6371 km sphere) — built-in trig functions only, so the refine stays
+    * inside whole-stage codegen.
+    */
+  def haversineMetres(lat1: org.apache.spark.sql.Column,
+      lng1: org.apache.spark.sql.Column,
+      lat2: org.apache.spark.sql.Column,
+      lng2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lng2 - lng1) / 2), 2)
+    lit(2.0 * graft.index.S2.EarthRadiusMetres) * asin(sqrt(a))
+  }
+
+  /** SEAM-SAFE spherical radius join over WGS84 lon/lat inputs: every
+    * (query, point) pair within `radiusMetres` along the great circle.
+    *
+    * The BNG-keyed [[radiusJoin]] is canvas-scoped (planar rings on a
+    * national grid); this is its global twin. Candidates come from an S2
+    * cap cover per query ([[graft.index.S2.coverCap]] — hierarchical
+    * subdivision in unit-vector space, so caps spanning the antimeridian,
+    * the poles, or any cube-face edge are covered with no special cases),
+    * points key by their S2 cell, ONE equi-join on the long cell id, and
+    * an exact haversine refine. Each point lives in exactly one cell and
+    * the cover is a distinct cell set, so no pair dedup is needed.
+    */
+  def sphericalRadiusJoin(
+      queries: DataFrame, qId: String, qLat: String, qLng: String,
+      points: DataFrame, pId: String, lat: String, lng: String,
+      radiusMetres: Double, level: Int = 10,
+      broadcastQueries: Boolean = true): DataFrame = {
+    import graft.index.IndexExpressions._
+    val coverUdf = udf { (la: Double, lo: Double) =>
+      graft.index.S2.coverCap(la, lo, radiusMetres, level)
+    }
+    val qCells = queries
+      .withColumn("__cell__", explode(coverUdf(col(qLat), col(qLng))))
+    val qSide = if (broadcastQueries) broadcast(qCells) else qCells
+    points
+      .withColumn("__cell__", s2_cell_lonlat(col(lat), col(lng), level))
+      .join(qSide, Seq("__cell__"))
+      .withColumn("dist_m",
+        haversineMetres(col(lat), col(lng), col(qLat), col(qLng)))
+      .filter(col("dist_m") <= radiusMetres)
+      .drop("__cell__")
+  }
+
   /** Generic geometry-vs-geometry spatial join on any JTS predicate.
     * Both sides explode to cells; pairs meeting in multiple cells are
     * deduped on the caller-supplied key columns.

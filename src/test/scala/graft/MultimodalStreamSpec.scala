@@ -64,6 +64,38 @@ class MultimodalStreamSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("multi-batch streaming dedup equals batch DISTINCT when horizon covers the span") {
+    val got = graft.streaming.EventStream.runDedupAvailableNow(spark,
+        s"$sf0/events.parquet", Seq("user_id", "event_type"), "ts",
+        horizon = "35 days", queryName = s"t_dedup_${System.nanoTime()}",
+        nFiles = 4)
+      .select("user_id", "event_type")
+    val exp = spark.read.parquet(s"$sf0/events.parquet")
+      .select("user_id", "event_type").distinct()
+    assertSameRows(got, exp)
+  }
+
+  test("streaming dedup state is bounded: key re-emitted after horizon eviction") {
+    // A@day1, fillers@day2/day3 (two batches so the lagging watermark
+    // provably passes A's expiry), A@day4: with a 1-hour horizon A's
+    // state is evicted before its duplicate arrives, so A is (correctly,
+    // by the bounded-state contract) emitted twice — where an unbounded
+    // DISTINCT would emit it once.
+    val dir = java.nio.file.Files.createTempDirectory("dedup-evict").toString
+    Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("B", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("C", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      ("A", java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))
+    ).toDF("k", "ts").write.mode("overwrite").parquet(dir)
+    val got = graft.streaming.EventStream.runDedupAvailableNow(spark,
+        dir, Seq("k"), "ts", horizon = "1 hour",
+        queryName = s"t_evict_${System.nanoTime()}", nFiles = 4)
+      .select("k").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("A", "A", "B", "C"),
+      s"expected per-horizon first-seen semantics, got $got")
+  }
+
   test("streaming hourly agg (AvailableNow) equals batch aggregation") {
     val batch = spark.read.parquet(s"$sf0/events.parquet")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))

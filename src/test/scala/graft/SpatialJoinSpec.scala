@@ -193,6 +193,48 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("spherical radius join is seam-safe: antimeridian, poles, and global spread") {
+    // Global points: uniform spread plus planted clusters straddling the
+    // antimeridian (lng +/-179.9x) and ringing the north pole — the two
+    // seams a face-local planar cover would miss.
+    val global = (0L until 1500L).map { i =>
+      (i, -85.0 + rnd(i, 21) * 170.0, -180.0 + rnd(i, 22) * 360.0)
+    }
+    val seam = (0L until 40L).map { i =>
+      val lng = if (i % 2 == 0) 179.90 + rnd(i, 23) * 0.09
+                else -179.99 + rnd(i, 23) * 0.09
+      (10000L + i, -0.5 + rnd(i, 24) * 1.0, lng)
+    }
+    val pole = (0L until 40L).map { i =>
+      (20000L + i, 89.70 + rnd(i, 25) * 0.25, -180.0 + rnd(i, 26) * 360.0)
+    }
+    val points = (global ++ seam ++ pole).toDF("pid", "lat", "lng")
+    val queries = Seq(
+      (0L, 0.0, 179.97),   // dateline: neighbours on BOTH sides of +/-180
+      (1L, 89.9, 45.0),    // pole: the cap contains the pole itself
+      (2L, -40.0, 10.0),   // plain mid-latitude control
+      (3L, 0.0, -179.95)   // dateline from the west side
+    ).toDF("qid", "qlat", "qlng")
+    val r = 300000.0 // 300 km
+    val got = SpatialJoin.sphericalRadiusJoin(queries, "qid", "qlat", "qlng",
+        points, "pid", "lat", "lng", radiusMetres = r, level = 7)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    // brute-force haversine oracle (same refine expression => identical
+    // float decisions; what's under test is candidate COVERAGE)
+    val exp = points.crossJoin(queries)
+      .withColumn("d", SpatialJoin.haversineMetres(
+        col("lat"), col("lng"), col("qlat"), col("qlng")))
+      .filter(col("d") <= r)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    // the seams were actually exercised: dateline queries see both signs
+    // of longitude, the pole query sees multiple longitudes
+    val seamHits = exp.filter(p => p._1 == 0L && p._2 >= 10000L && p._2 < 20000L)
+    assert(seamHits.exists(p => p._2 % 2 == 0) && seamHits.exists(p => p._2 % 2 == 1),
+      "fixture must have matches on both sides of the antimeridian")
+    assert(exp.count(_._1 == 1L) >= 30, "pole query should catch the polar ring")
+  }
+
   test("ring-expansion kNN equals broadcast brute-force kNN") {
     val qs = (0L until 25L).map { q =>
       (q, rnd(q, 7) * 700000.0, rnd(q, 8) * 1300000.0)

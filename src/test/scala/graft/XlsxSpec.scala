@@ -101,6 +101,61 @@ class XlsxSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getBoolean(2)) == (2L, 2L, true))
   }
 
+  test("xlsx error cells and unparseable values surface as null, not ingest failure") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-err").toString
+    val path = s"$dir/e.xlsx"
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="e"><v>#DIV/0!</v></c></row>
+        |<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="d"><v>not-a-number</v></c></row>
+        |<row r="4"><c r="A4"><v>3</v></c><c r="B4"><v>7</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zout = new ZipOutputStream(new java.io.FileOutputStream(path))
+    zout.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zout.write(sheet.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val back = Xlsx.read(spark, path).orderBy("k")
+    val rows = back.collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(rows.toSeq == Seq((1L, None), (2L, None), (3L, Some(7L))))
+  }
+
+  test("ods trailing repeated empty fillers don't widen the inferred table") {
+    // Writers pad row ends with number-columns-repeated empty cells (up
+    // to 16384); those must not become all-null columns.
+    val dir = java.nio.file.Files.createTempDirectory("ods-fill").toString
+    val path = s"$dir/f.ods"
+    val content =
+      """<?xml version="1.0"?>
+        |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        |  xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        |  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:spreadsheet>
+        |<table:table table:name="Sheet1">
+        |<table:table-row>
+        |  <table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>
+        |  <table:table-cell office:value-type="string"><text:p>b</text:p></table:table-cell>
+        |  <table:table-cell table:number-columns-repeated="16382"/>
+        |</table:table-row>
+        |<table:table-row>
+        |  <table:table-cell office:value-type="float" office:value="1"/>
+        |  <table:table-cell office:value-type="float" office:value="2"/>
+        |  <table:table-cell table:number-columns-repeated="16382"/>
+        |</table:table-row>
+        |</table:table>
+        |</office:spreadsheet></office:body></office:document-content>""".stripMargin
+    val zout = new ZipOutputStream(new java.io.FileOutputStream(path))
+    zout.putNextEntry(new ZipEntry("content.xml"))
+    zout.write(content.getBytes("UTF-8")); zout.closeEntry(); zout.close()
+    val back = Xlsx.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"),
+      s"trailing fillers leaked into the schema: ${back.schema.fieldNames.length} cols")
+    val r = back.collect().head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+  }
+
   test("from_files dispatches .xlsx and carries lineage") {
     val df = Seq((10L, "x"), (20L, "y")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("xlsx3").toString
