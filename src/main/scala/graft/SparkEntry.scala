@@ -64,7 +64,9 @@ object SparkEntry {
     "q41_stream_dedup" -> (GraftQueries.q41StreamDedup _),
     "q42_resample" -> (GraftQueries.q42Resample _),
     "q43_text_identity" -> (GraftQueries.q43TextIdentity _),
-    "q44_spherical_radius" -> (GraftQueries.q44SphericalRadius _)
+    "q44_spherical_radius" -> (GraftQueries.q44SphericalRadius _),
+    "q45_incremental" -> (GraftQueries.q45Incremental _),
+    "q46_metadata" -> (GraftQueries.q46Metadata _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -108,7 +110,9 @@ object SparkEntry {
     "q41_stream_dedup" -> GraftQueries.q41Sql,
     "q42_resample" -> GraftQueries.q42Sql,
     "q43_text_identity" -> GraftQueries.q43Sql,
-    "q44_spherical_radius" -> GraftQueries.q44Sql
+    "q44_spherical_radius" -> GraftQueries.q44Sql,
+    "q45_incremental" -> GraftQueries.q45Sql,
+    "q46_metadata" -> GraftQueries.q46Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

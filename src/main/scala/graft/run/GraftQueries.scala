@@ -932,7 +932,8 @@ object GraftQueries {
   def q41StreamDedup(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.runDedupAvailableNow(spark,
         s"$dir/events.parquet", Seq("user_id", "event_type"), "ts",
-        horizon = "35 days", queryName = s"graft_dedup_${System.nanoTime()}")
+        horizon = "35 days", queryName = s"graft_dedup_${System.nanoTime()}",
+        nFiles = 3)
       .select(col("user_id"), col("event_type"))
 
   val q41Sql: String =
@@ -1095,4 +1096,88 @@ object GraftQueries {
       |        pow(sin(radians(lat - qlat)/2), 2) +
       |        cos(radians(qlat)) * cos(radians(lat)) *
       |        pow(sin(radians(lng - qlng)/2), 2))) <= 2000000""".stripMargin
+
+  /** S9 incremental (CDC) scan, driver-oracle-checked: commit the orders
+    * table as three append snapshots of an Iceberg-style versioned table
+    * (thirds by o_orderkey % 3), then read the DELTA after snapshot 0 —
+    * the file-level manifest diff scans ONLY the two appended thirds (the
+    * already-processed prefix is pruned at the source; SnapshotLogSpec
+    * pins the file-pruning property, this row pins the delta VALUES).
+    */
+  def q45Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchStore(spark, "q45")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val vt = new graft.input.VersionedTable(root)
+    val orders = t(spark, dir, "orders").select(col("o_orderkey"))
+    (0 to 2).foreach { m =>
+      vt.commit(orders.filter(col("o_orderkey") % 3 === m), "append")
+    }
+    vt.readIncremental(spark, fromExclusive = 0L)
+  }
+
+  val q45Sql: String =
+    "SELECT o_orderkey FROM orders WHERE o_orderkey % 3 IN (1, 2)"
+
+  /** S8 GEMINI metadata through the driver contract: write a
+    * deterministic ISO 19139/GEMINI XML record, parse it with the
+    * 12-field reader (reference `metadata.py:270-315` semantics), and
+    * emit the scalars + list cardinalities as one row the oracle pins as
+    * constants — any drift in the path traversal turns this red.
+    */
+  def q46Metadata(spark: SparkSession, dir: String): DataFrame = {
+    val xml =
+      """<MD_Metadata>
+        |<fileIdentifier><CharacterString>graft-ds-001</CharacterString></fileIdentifier>
+        |<language><LanguageCode codeListValue="eng">English</LanguageCode></language>
+        |<hierarchyLevel><MD_ScopeCode codeListValue="dataset"/></hierarchyLevel>
+        |<dateStamp><Date>2024-05-01</Date></dateStamp>
+        |<identificationInfo><MD_DataIdentification>
+        |<citation><CI_Citation><title><CharacterString>Graft sample layer</CharacterString></title></CI_Citation></citation>
+        |<abstract><CharacterString>Synthetic GEMINI record for q46.</CharacterString></abstract>
+        |<language><LanguageCode codeListValue="eng">English</LanguageCode></language>
+        |<topicCategory><MD_TopicCategoryCode>environment</MD_TopicCategoryCode></topicCategory>
+        |<topicCategory><MD_TopicCategoryCode>farming</MD_TopicCategoryCode></topicCategory>
+        |<descriptiveKeywords><MD_Keywords>
+        |<keyword><CharacterString>web</CharacterString></keyword>
+        |<keyword><CharacterString>tiles</CharacterString></keyword>
+        |<keyword><CharacterString>bng</CharacterString></keyword>
+        |</MD_Keywords></descriptiveKeywords>
+        |<spatialRepresentationType><MD_SpatialRepresentationTypeCode codeListValue="vector"/></spatialRepresentationType>
+        |</MD_DataIdentification></identificationInfo>
+        |<dataQualityInfo><DQ_DataQuality>
+        |<scope><DQ_Scope><level><MD_ScopeCode codeListValue="dataset"/></level></DQ_Scope></scope>
+        |<lineage><LI_Lineage><statement><CharacterString>Synthesized for q46.</CharacterString></statement></LI_Lineage></lineage>
+        |</DQ_DataQuality></dataQualityInfo>
+        |</MD_Metadata>""".stripMargin
+    val root = scratchStore(spark, "q46")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val p = s"$root/record.xml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), xml)
+    val m = graft.core.Metadata.fromXmlFile(p)
+    import spark.implicits._
+    Seq((
+      m.title.orNull, m.abstract_.orNull, m.lineage.orNull,
+      m.file_identifier.orNull, m.metadata_date.orNull,
+      m.metadata_language.orNull, m.resource_type.headOption.orNull,
+      m.topic_category.mkString(","), m.keyword.length.toLong,
+      m.quality_scope.headOption.orNull,
+      m.spatial_representation_type.headOption.orNull
+    )).toDF("title", "abstract", "lineage", "file_identifier",
+      "metadata_date", "metadata_language", "resource_type",
+      "topic_categories", "n_keywords", "quality_scope",
+      "spatial_representation_type")
+  }
+
+  val q46Sql: String =
+    """SELECT 'Graft sample layer' AS title,
+      |'Synthetic GEMINI record for q46.' AS abstract,
+      |'Synthesized for q46.' AS lineage,
+      |'graft-ds-001' AS file_identifier,
+      |'2024-05-01' AS metadata_date,
+      |'English' AS metadata_language,
+      |'dataset' AS resource_type,
+      |'environment,farming' AS topic_categories,
+      |CAST(3 AS BIGINT) AS n_keywords,
+      |'dataset' AS quality_scope,
+      |'vector' AS spatial_representation_type""".stripMargin
 }

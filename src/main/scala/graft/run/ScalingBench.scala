@@ -83,16 +83,59 @@ object ScalingBench {
          |pair saturates every hardware thread of this single 32-core VM,
          |where all threads divide one shared memory system and clock
          |budget — a wall that does not exist across a real cluster's
-         |machines; its measured ratio swings 0.74-0.92 with the host's
-         |minute-scale contention state (it cleared 0.86-0.92 in calm
-         |windows this session). Context on absolute speed: round 1's
-         |kernel indexed ONE H3 res + S2 at 12.2M rows/s on local[32];
-         |this round's kernel indexes all SIX north-rule resolutions + S2 at
-         |${(rps32 / 1e6).round}M rows/s (the single-res variant, kept as
-         |the BENCH headline metric, runs ~21M rows/s after the transform
-         |lattice + encoder codegen — fast enough that its 8->32 ratio is
-         |bounded by the single box's shared memory system rather than by
-         |the plan, which is why the gate kernel is the full-width one).
+         |machines; its measured ratio swings 0.74-0.92 across sessions
+         |with the host's minute-scale contention state (round 2 recorded
+         |0.775 and 0.854-0.874 in different windows). Context on absolute
+         |speed: round 1's kernel indexed ONE H3 res + S2 at 12.2M rows/s
+         |on local[32]; the current kernel indexes all SIX north-rule
+         |resolutions + S2 at ${(rps32 / 1e6).round}M rows/s (the
+         |single-res variant, kept as the BENCH headline metric, runs
+         |~17-19M rows/s — fast enough that its 8->32 ratio is bounded by
+         |the single box's shared memory system rather than by the plan,
+         |which is why the gate kernel is the full-width one).
+         |
+         |## Shuffle-width reductions (round 3, measured by ScaleShapeSpec's
+         |## task-metrics listener; gated so they can't regress)
+         |
+         || path | wide formulation | slim formulation | bytes reduction |
+         ||---|---|---|---|
+         || high-card categorize join-back (q38 shape, 3k x 1KB high-entropy texts) | join on raw string: 9,474,444 B | 128-bit xxhash64 surrogate keys: 214,974 B | **44.1x** |
+         || embedding near-dup (q23 shape, 2k x dim-64 float vectors) | vectors ride the bucket join: 2,120,302 B | ids-only, vectors re-joined for refine: 770,058 B | **2.8x** |
+         |
+         |Both ratios GROW with payload width: the slim side is O(ids)
+         |while the wide side is O(text bytes) / O(dim) — at 1 KB web
+         |documents and 1k-dim embeddings the reductions extrapolate to
+         |~40x and ~60x respectively. Results are row-identical (asserted
+         |before measuring).
+         |
+         |## Fused CellJoin SparkStrategy: measured, rejected
+         |
+         |Round-2 VERDICT asked for a before/after bench before accepting a
+         |custom physical operator for the cell join. ProfileJoin (32M rows,
+         |local[32], interleaved best-of-3): scan+encode WITHOUT the join
+         |17.6M rows/s vs the full scan+encode+broadcast-join+PIP-refine
+         |pipeline 19.2M rows/s — the join step adds ZERO measurable wall
+         |time (the delta is negative, i.e. inside run noise). A fused
+         |custom SparkPlan can only reclaim that delta; there is no headroom
+         |to justify one. The declarative plan stays.
+         |
+         |## Row-local kernels (round 3)
+         |
+         |Random-hyperplane sign keys (16 bits x 4 tables, dim 64): 1.61M
+         |rows/s after materializing the weight matrix once per JVM
+         |(round 2 re-derived splitmix64 bits x dim times per row); key
+         |values bit-identical (ScaleShapeSpec determinism pin). IVF ANN
+         |QPS rose 6 -> 17 with the distributed Lloyd trainer now on the
+         |driver-contract path.
+         |
+         |## Streaming dedup is now a REAL multi-batch run
+         |
+         |q41 stages its input as event-time-ordered files with
+         |maxFilesPerTrigger=1 (3 micro-batches) and dedups via
+         |dropDuplicatesWithinWatermark — bounded state, eviction
+         |semantics spec-pinned. The catalogue time (~7s) is dominated by
+         |per-micro-batch stateful-execution overhead, the honest price of
+         |not hiding everything in one batch.
          |
          |## Spherical-join candidate fan-out (geometry vs envelope covers)
          |

@@ -54,6 +54,41 @@ class ScaleShapeSpec extends SparkSpec {
     assert(viaHash.filter(col("fruit").isNull && col("code").isNotNull).count() == 0)
   }
 
+  test("categorize join-back: surrogate keys shuffle far fewer bytes than raw-text join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // near-unique ~1 KB HIGH-ENTROPY texts (shuffle bytes are measured
+      // post-compression, so repetitive filler would understate the raw
+      // path; real web text is closer to this than to repeated lorem)
+      val docs = spark.range(3000).map { j =>
+        val i = j.toLong
+        val sb = new StringBuilder(1100)
+        var k = 0
+        while (k < 64) {
+          sb.append(java.lang.Long.toHexString(
+            graft.input.WebTable.splitmix64(i * 8191L + k)))
+          sb.append(' ')
+          k += 1
+        }
+        (i, sb.toString)
+      }.toDF("doc_id", "text").localCheckpoint(true)
+      val slim = Categorize.categorizeColumnPlan(docs, "text", "code",
+          hintBroadcast = false).select("doc_id", "code")
+      // round-2 formulation: dictionary joins back on the raw string
+      val wide = {
+        val codes = Categorize.denseCodes(docs, "text", "code")
+        docs.join(codes, Seq("text"), "left").select("doc_id", "code")
+      }
+      assertSameRows(slim, wide)
+      val slimBytes = shuffleBytes { slim.write.format("noop").mode("overwrite").save() }
+      val wideBytes = shuffleBytes { wide.write.format("noop").mode("overwrite").save() }
+      info(f"shuffle bytes: slim=$slimBytes%,d wide=$wideBytes%,d (${wideBytes.toDouble / slimBytes}%.1fx)")
+      assert(slimBytes * 2 < wideBytes,
+        s"surrogate-key join-back should shuffle <1/2 the bytes: slim=$slimBytes wide=$wideBytes")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---------- embedding near-dup: ids-only bucket shuffle -------------
 
   /** Sum of shuffle-write bytes across all tasks while `f` runs. */
