@@ -219,13 +219,22 @@ object Dedup {
     * for texts.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 16, tables: Int = 4): DataFrame = {
+      threshold: Double, bits: Int = 16, tables: Int = 4,
+      bucketCap: Int = 0): DataFrame = {
     val base = df.select(col(idCol).as("__id__"), col(vecCol).as("__v__"))
     // All `tables` sign keys in one row-local projection (one corpus scan),
     // then one explode + bucket self-join on (table, key) — ids only.
-    val keyed = base.select(col("__id__"),
+    // `bucketCap` > 0 bounds membership per (table, key) like the text
+    // LSH paths (deterministic by id; see [[capBuckets]]).
+    val keyed0 = base.select(col("__id__"),
       posexplode(array((0 until tables).map(t =>
         rhp_sign(col("__v__"), bits, 1000L + t)): _*)).as(Seq("__t__", "__key__")))
+    val keyed =
+      if (bucketCap <= 0) keyed0
+      else capBuckets(keyed0.withColumnRenamed("__t__", "__band__")
+          .withColumnRenamed("__key__", "__bucket__"), bucketCap)
+        .withColumnRenamed("__band__", "__t__")
+        .withColumnRenamed("__bucket__", "__key__")
     val l = keyed.select(col("__id__").as("a"), col("__t__"), col("__key__"))
     val r = keyed.select(col("__id__").as("b"), col("__t__"), col("__key__"))
     val candidates = l.join(r, Seq("__t__", "__key__"))
@@ -240,6 +249,25 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Boilerplate-skew-safe embedding near-dup — the vector twin of
+    * [[minhashDedupSkewSafe]]: duplicate pages embed to BIT-IDENTICAL
+    * vectors, so a 10k-copy boilerplate cluster would land 10k rows in
+    * the same RHP bucket in EVERY table (quadratic candidates). Here an
+    * exact pre-pass collapses identical vectors to their min-id
+    * representative with ONE hash shuffle (groupBy on the vector — exact
+    * bitwise equality, map-side combined), then the ids-only LSH runs
+    * over representatives with a per-(table, key) membership cap
+    * bounding residual hot buckets at cap^2 pairs.
+    */
+  def embeddingNearDupSkewSafe(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, tables: Int = 4,
+      bucketCap: Int = 64): DataFrame = {
+    val reps = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(vecCol))
+    embeddingNearDup(reps, idCol, vecCol, threshold, bits, tables, bucketCap)
+  }
+
   /** Cosine similarity of two equal-length numeric arrays in double
     * precision, array order fixed — a single fused JVM loop (CosineSim).
     * For equal-length inputs it is bitwise-identical to the previous
@@ -252,21 +280,87 @@ object Dedup {
     */
   def cosineCol(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Static cosine kernel shared by interpreted eval AND generated code
+    * (Janino reaches it through the object's static forwarder). One fused
+    * loop, doubles, sequential IEEE order; caller guarantees equal
+    * lengths.
+    */
+  def cosineData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      leftFloat: Boolean, rightFloat: Boolean): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Per-JVM cache of random-hyperplane weight matrices keyed by
+  * (seed, bits, dim), shared by interpreted eval and generated code —
+  * deterministic splitmix64 weights, identical on every executor with
+  * nothing shipped.
+  */
+object RhpKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  def weights(seed: Long, bits: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((seed, bits, dim), { _ =>
+      val w = new Array[Double](bits * dim)
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dim) {
+          val h = WebTable.splitmix64(seed * 1000003L + b * 131071L + d)
+          // uniform in [-0.5, 0.5): deterministic pseudo-gaussian-ish weight
+          w(b * dim + d) =
+            (java.lang.Long.remainderUnsigned(h, 1000000L) / 1000000.0) - 0.5
+          d += 1
+        }
+        b += 1
+      }
+      w
+    })
+
+  def sign(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int, seed: Long): Long = {
+    val n = arr.numElements()
+    val w = weights(seed, bits, n)
+    var key = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      val off = b * n
+      var d = 0
+      while (d < n) {
+        dot += w(off + d) * arr.getFloat(d)
+        d += 1
+      }
+      if (dot >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
 }
 
 /** (vecA, vecB) -> cosine similarity; accepts float or double arrays.
   * Accumulates dot/normA/normB in one pass, doubles, sequential order.
   * Unequal lengths yield null (malformed input, not a prefix answer).
+  * Real doGenCode (a static-kernel call) — this runs O(corpus x queries)
+  * times in brute-force ANN, where the CodegenFallback wrapper's
+  * per-call interpretation overhead was measurable.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-
-  @inline private def elem(arr: org.apache.spark.sql.catalyst.util.ArrayData,
-      isFloat: Boolean, i: Int): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
   private lazy val leftFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -276,18 +370,24 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val vb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = va.numElements()
-    if (vb.numElements() != n) return null
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = elem(va, leftFloat, i)
-      val y = elem(vb, rightFloat, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (vb.numElements() != va.numElements()) null
+    else Dedup.cosineData(va, vb, leftFloat, rightFloat)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.ops.Dedup.cosineData($a, $b, $leftFloat, $rightFloat);
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -416,61 +516,26 @@ case class JaccardShingles(first: Expression, second: Expression, third: Express
 /** Float vector -> `bits`-bit random-hyperplane sign key. Hyperplane
   * components are deterministic uniforms from splitmix64 keyed by
   * (seed, bit, dim) — identical on every executor without shipping
-  * matrices. The (bits x dim) weight matrix is materialized ONCE per
-  * expression instance per JVM on first eval (a few KB) instead of
-  * re-deriving splitmix64 bits x dim times per row — pure constant-factor
-  * CPU in the hot kernel; the emitted keys are unchanged (determinism
-  * pinned in DedupSpec).
+  * matrices. The (bits x dim) weight matrix is materialized ONCE per JVM
+  * ([[RhpKernel]], a few KB) instead of re-deriving splitmix64 bits x dim
+  * times per row, and the expression has real doGenCode (static-kernel
+  * call) — emitted keys unchanged (determinism pinned in ScaleShapeSpec).
   */
 case class RandomHyperplaneSign(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  // Flattened [bit * dim + d] weight cache, rebuilt only if the vector
-  // dimensionality changes (embeddings are fixed-dim per dataset).
-  @transient private var cachedDim: Int = -1
-  @transient private var weights: Array[Double] = _
+  override protected def nullSafeEval(v: Any): Any =
+    RhpKernel.sign(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits, seed)
 
-  private def weightsFor(dim: Int): Array[Double] = {
-    if (cachedDim != dim) {
-      val w = new Array[Double](bits * dim)
-      var b = 0
-      while (b < bits) {
-        var d = 0
-        while (d < dim) {
-          val h = WebTable.splitmix64(seed * 1000003L + b * 131071L + d)
-          // uniform in [-0.5, 0.5): deterministic pseudo-gaussian-ish weight
-          w(b * dim + d) =
-            (java.lang.Long.remainderUnsigned(h, 1000000L) / 1000000.0) - 0.5
-          d += 1
-        }
-        b += 1
-      }
-      weights = w
-      cachedDim = dim
-    }
-    weights
-  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.ops.RhpKernel.sign($arr, $bits, ${seed}L);")
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = arr.numElements()
-    val w = weightsFor(n)
-    var key = 0L
-    var b = 0
-    while (b < bits) {
-      var dot = 0.0
-      val off = b * n
-      var d = 0
-      while (d < n) {
-        dot += w(off + d) * arr.getFloat(d)
-        d += 1
-      }
-      if (dot >= 0) key |= (1L << b)
-      b += 1
-    }
-    key
-  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

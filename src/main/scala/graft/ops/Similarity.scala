@@ -1,8 +1,13 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -90,14 +95,15 @@ object Similarity {
       .select(col(vec)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     (0 until iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf { (v: Seq[Float]) =>
-        nearestCentroid(v.map(_.toDouble).toArray, bc.value)
-      }
       // per-centroid, per-dimension sums in ONE aggregation: sum the
-      // vectors element-wise per cluster plus the member count
+      // vectors element-wise per cluster plus the member count. The
+      // assignment is a Catalyst expression over the raw ArrayData (no
+      // per-row Seq[Float] boxing) carrying the few-KB centroid matrix
+      // in the serialized plan.
       val sums = corpus
-        .withColumn("__c__", assignUdf(col(vec)))
+        .withColumn("__c__",
+          Bridge.column(NearestCentroidExpr(
+            Bridge.expression(col(vec)), centroids)))
         .groupBy(col("__c__"))
         .agg(count(lit(1)).as("__n__"),
           array((0 until dim).map(d =>
@@ -126,27 +132,18 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       distributedTraining: Boolean = false): DataFrame = {
-    val spark = corpus.sparkSession
     val centroids =
       if (distributedTraining) trainCentroidsDistributed(corpus, id, vec, nlist)
       else trainCentroids(corpus, id, vec, nlist)
-    val bc = spark.sparkContext.broadcast(centroids)
 
-    val assignUdf = udf { (v: Seq[Float]) =>
-      nearestCentroid(v.map(_.toDouble).toArray, bc.value)
-    }
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val vd = v.map(_.toDouble).toArray
-      bc.value.indices.map { c =>
-        var d2 = 0.0
-        var d = 0
-        while (d < vd.length) { val t = vd(d) - bc.value(c)(d); d2 += t * t; d += 1 }
-        (c, d2)
-      }.sortBy(x => (x._2, x._1)).take(nprobe).map(_._1)
-    }
-
-    val listed = corpus.withColumn("__list__", assignUdf(col(vec)))
-    val probed = queries.withColumn("__list__", explode(probeUdf(col(qVec))))
+    // Assignment (the only full-corpus scan) and query probing as
+    // Catalyst expressions over raw ArrayData — no per-row Seq[Float]
+    // boxing; the few-KB centroid matrix rides the serialized plan.
+    val listed = corpus.withColumn("__list__",
+      Bridge.column(NearestCentroidExpr(Bridge.expression(col(vec)), centroids)))
+    val probed = queries.withColumn("__list__",
+      explode(Bridge.column(NearestCentroidsExpr(
+        Bridge.expression(col(qVec)), centroids, nprobe))))
     val pairs = listed.join(broadcast(probed), Seq("__list__"))
       .withColumn("cosine", Dedup.cosineCol(col(qVec), col(vec)))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(id))
@@ -154,4 +151,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qId), col(id), col("cosine"), col("rank"))
   }
+}
+
+/** float vector -> index of the nearest centroid (squared-euclidean,
+  * ties by lowest index — same argmin order as the driver-side trainer).
+  */
+case class NearestCentroidExpr(child: Expression,
+    centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d2 = 0.0
+      var d = 0
+      val lim = math.min(n, ctr.length)
+      while (d < lim) {
+        val t = arr.getFloat(d) - ctr(d)
+        d2 += t * t
+        d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** float vector -> the `nprobe` nearest centroid indices ordered by
+  * (distance, index) — the query-side probe list.
+  */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val d2s = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d2 = 0.0
+      var d = 0
+      val lim = math.min(n, ctr.length)
+      while (d < lim) {
+        val t = arr.getFloat(d) - ctr(d)
+        d2 += t * t
+        d += 1
+      }
+      d2s(c) = d2
+      c += 1
+    }
+    val order = d2s.indices.sortBy(i => (d2s(i), i)).take(nprobe)
+    new GenericArrayData(order.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

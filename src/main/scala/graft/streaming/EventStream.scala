@@ -107,6 +107,36 @@ object EventStream {
     d.toString
   }
 
+  /** Continuous-crawl ingest shape (north rule: Iceberg table of web
+    * pages, resumable): stream a source path and commit EVERY micro-batch
+    * as an append snapshot of an Iceberg-style [[graft.input.VersionedTable]]
+    * via foreachBatch. Readers get snapshot isolation while the stream
+    * runs; a resumed consumer processes only `readIncremental` deltas;
+    * Spark's own checkpoint dir makes the WRITER restartable (foreachBatch
+    * replays an uncommitted batch id after a crash — commits here are
+    * idempotent per run since each batch lands as one snapshot).
+    * AvailableNow with maxFilesPerTrigger=1 => one snapshot per staged
+    * input file. Returns the table.
+    */
+  def streamToVersionedTable(spark: SparkSession, parquetPath: String,
+      tsCol: String, tableRoot: String, nFiles: Int = 4,
+      queryName: String = "graft_stream_ingest"): graft.input.VersionedTable = {
+    val streamPath = stageTimeOrdered(spark, parquetPath, tsCol, nFiles)
+    val schema = spark.read.parquet(streamPath).schema
+    val vt = new graft.input.VersionedTable(tableRoot)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamPath)
+    val q = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        vt.commit(batch, "append"): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    vt
+  }
+
   /** Run streaming dedup over a parquet path with AvailableNow as a REAL
     * multi-batch run (input split into `nFiles` event-time-ordered files,
     * one micro-batch each); returns the deduped rows from the in-memory

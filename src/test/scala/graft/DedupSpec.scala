@@ -118,6 +118,32 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(cos(all(a), all(b)) >= 0.99) }
   }
 
+  test("embeddingNearDupSkewSafe: identical-vector mega cluster collapses to one representative") {
+    def vec(i: Long, bump: Int = -1): Array[Float] =
+      Array.tabulate(16) { d =>
+        val h = graft.input.WebTable.splitmix64(i * 31L + d)
+        val v = (java.lang.Long.remainderUnsigned(h, 2000L) / 1000.0f) - 1.0f
+        if (d == bump) v + 0.01f else v
+      }
+    // 5k bit-identical copies of vector 0 (boilerplate pages all embed
+    // the same) + 40 distinct + 8 planted near-dups of distinct vectors
+    val boiler = (0L until 5000L).map(j => (100000L + j, vec(0L)))
+    val base = (0L until 40L).map(i => (i, vec(i)))
+    val near = (0L until 8L).map(j => (200000L + j, vec(j, bump = 3)))
+    val df = (boiler ++ base ++ near).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupSkewSafe(df, "vec_id", "embedding",
+        threshold = 0.99, bucketCap = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the 5000-copy cluster is ONE representative (vec_id 0, the global
+    // min over identical vectors) — zero intra-cluster pairs in the output
+    assert(!got.exists { case (a, b) => a >= 100000L && a < 200000L ||
+      b >= 100000L && b < 200000L }, "exact duplicates must be collapsed, not paired")
+    // near-dups of representatives still found
+    (0L until 8L).foreach { j =>
+      assert(got.contains((j, 200000L + j)), s"missed planted near-dup $j")
+    }
+  }
+
   test("skew-safe near-dup: planted 10k-identical cluster stays linear, recall survives the cap") {
     // A boilerplate mega-cluster: 10,000 copies of one page on top of the
     // normal corpus. Uncapped LSH would self-join the cluster's bucket

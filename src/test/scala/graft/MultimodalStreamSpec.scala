@@ -96,6 +96,25 @@ class MultimodalStreamSpec extends SparkSpec {
       s"expected per-horizon first-seen semantics, got $got")
   }
 
+  test("stream -> versioned table: one snapshot per micro-batch, incremental reads the delta") {
+    val root = java.nio.file.Files.createTempDirectory("stream-vt").toString + "/t"
+    val vt = graft.streaming.EventStream.streamToVersionedTable(spark,
+      s"$sf0/events.parquet", "ts", root, nFiles = 4,
+      queryName = s"t_ingest_${System.nanoTime()}")
+    val snaps = vt.snapshots()
+    assert(snaps.size == 4, s"expected one snapshot per micro-batch, got $snaps")
+    // HEAD read reproduces the full input
+    val full = spark.read.parquet(s"$sf0/events.parquet")
+    assert(vt.read(spark).count() == full.count())
+    assertSameRows(vt.read(spark).select("event_id"), full.select("event_id"))
+    // incremental after snapshot 1 = exactly the later micro-batches
+    val delta = vt.readIncremental(spark, fromExclusive = 1L).count()
+    val snap1 = vt.read(spark, asOf = Some(1L)).count()
+    assert(snap1 + delta == full.count(),
+      s"snapshot-1 rows ($snap1) + delta ($delta) must equal total ${full.count()}")
+    assert(delta > 0 && snap1 > 0)
+  }
+
   test("streaming hourly agg (AvailableNow) equals batch aggregation") {
     val batch = spark.read.parquet(s"$sf0/events.parquet")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
