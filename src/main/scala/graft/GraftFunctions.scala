@@ -73,7 +73,12 @@ object GraftFunctions {
       graft.index.BngIndexFlagsExpr(es(0), litLong(es(1), "resolution"))),
     "spherical_cells" -> ((es: Seq[Expression]) =>
       graft.index.SphericalCells(es(0), es(1), litLong(es(2), "h3Res").toInt,
-        litLong(es(3), "s2Level").toInt))
+        litLong(es(3), "s2Level").toInt)),
+    "s2_cell_lonlat" -> ((es: Seq[Expression]) =>
+      graft.index.S2CellLatLng(es(0), es(1), litLong(es(2), "level").toInt)),
+    "rhp_sign" -> ((es: Seq[Expression]) =>
+      graft.ops.RandomHyperplaneSign(es(0), litLong(es(1), "bits").toInt,
+        litLong(es(2), "seed")))
   )
 
   def register(spark: SparkSession): Unit =

@@ -121,12 +121,15 @@ object ScalingBench {
          |
          |## Row-local kernels (round 3)
          |
-         |Random-hyperplane sign keys (16 bits x 4 tables, dim 64): 1.61M
-         |rows/s after materializing the weight matrix once per JVM
-         |(round 2 re-derived splitmix64 bits x dim times per row); key
-         |values bit-identical (ScaleShapeSpec determinism pin). IVF ANN
-         |QPS rose 6 -> 17 with the distributed Lloyd trainer now on the
-         |driver-contract path.
+         |Random-hyperplane sign keys (16 bits x 4 tables, dim 64): 2.36M
+         |rows/s after (a) materializing the weight matrix once per JVM
+         |(round 2 re-derived splitmix64 bits x dim times per row: 1.61M)
+         |and (b) real doGenCode via the RhpKernel static helper; key values
+         |bit-identical (ScaleShapeSpec determinism pin). CosineSim also
+         |gained doGenCode — brute-force ANN 12 -> 17 qps. IVF ANN QPS rose
+         |6 -> 16-17 with the distributed Lloyd trainer on the
+         |driver-contract path and the centroid assignment/probing as
+         |Catalyst expressions over raw ArrayData (no Seq[Float] boxing).
          |
          |## Streaming dedup is now a REAL multi-batch run
          |

@@ -235,6 +235,43 @@ class SpatialJoinSpec extends SparkSpec {
     assert(exp.count(_._1 == 1L) >= 30, "pole query should catch the polar ring")
   }
 
+  test("S2.coverCap conservative-superset property: every in-cap point's cell is covered") {
+    import graft.index.S2
+    // destination point at (bearing, angular distance) from a start —
+    // standard great-circle formulas, used only to SAMPLE points in caps
+    def dest(lat1d: Double, lng1d: Double, bearing: Double, ang: Double): (Double, Double) = {
+      val lat1 = math.toRadians(lat1d); val lng1 = math.toRadians(lng1d)
+      val lat2 = math.asin(math.sin(lat1) * math.cos(ang) +
+        math.cos(lat1) * math.sin(ang) * math.cos(bearing))
+      val lng2 = lng1 + math.atan2(
+        math.sin(bearing) * math.sin(ang) * math.cos(lat1),
+        math.cos(ang) - math.sin(lat1) * math.sin(lat2))
+      (math.toDegrees(lat2), math.toDegrees(lng2))
+    }
+    val caps = Seq(
+      (89.9, 45.0, 500000.0, 6),   // contains the north pole
+      (-89.85, -120.0, 300000.0, 7), // south pole
+      (0.0, 179.99, 300000.0, 7),  // antimeridian
+      (0.0, -179.95, 50000.0, 10), // antimeridian, fine level
+      (45.0, 45.0, 400000.0, 6),   // face-corner region
+      (-33.0, 18.0, 50000.0, 10))  // plain mid-latitude
+    caps.foreach { case (clat, clng, r, level) =>
+      val cover = S2.coverCap(clat, clng, r, level).toSet
+      (0 until 400).foreach { i =>
+        val h1 = WebTable.splitmix64(i * 7919L + level)
+        val h2 = WebTable.splitmix64(h1)
+        val bearing = (java.lang.Long.remainderUnsigned(h1, 1000000L) / 1000000.0) * 2 * math.Pi
+        // bias samples toward the rim, where misses would hide
+        val frac = math.sqrt(java.lang.Long.remainderUnsigned(h2, 1000000L) / 1000000.0)
+        val ang = frac * r / S2.EarthRadiusMetres
+        val (plat, plng) = dest(clat, clng, bearing, ang)
+        val cell = S2.cellId(plat, plng, level)
+        assert(cover.contains(cell),
+          s"cap($clat,$clng,r=$r,l=$level): point ($plat,$plng) cell not covered")
+      }
+    }
+  }
+
   test("ring-expansion kNN equals broadcast brute-force kNN") {
     val qs = (0L until 25L).map { q =>
       (q, rnd(q, 7) * 700000.0, rnd(q, 8) * 1300000.0)

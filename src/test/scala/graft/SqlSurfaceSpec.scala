@@ -50,6 +50,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(5) == 6) // grid-aligned 2x1: 2 contained + 4 touch cells
   }
 
+  test("round-3 kernels reachable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT s2_cell_lonlat(51.5D, -0.1D, 12) AS cell,
+        |       rhp_sign(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 16, 1000) AS sig
+        |""".stripMargin).head()
+    assert(graft.index.S2.level(r.getLong(0)) == 12)
+    assert(r.getLong(0) == graft.index.S2.cellId(51.5, -0.1, 12))
+    // same key the Scala-side expression emits
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaCol = Seq(Tuple1(Array(0.5f, -0.25f))).toDF("v")
+      .select(graft.ops.Dedup.rhp_sign(col("v"), 16, 1000L)).head().getLong(0)
+    assert(r.getLong(1) == viaCol)
+  }
+
   test("SQL spatial predicate + cell explode compose in a query") {
     GraftFunctions.register(spark)
     spark.sql(
