@@ -66,7 +66,8 @@ object SparkEntry {
     "q43_text_identity" -> (GraftQueries.q43TextIdentity _),
     "q44_spherical_radius" -> (GraftQueries.q44SphericalRadius _),
     "q45_incremental" -> (GraftQueries.q45Incremental _),
-    "q46_metadata" -> (GraftQueries.q46Metadata _)
+    "q46_metadata" -> (GraftQueries.q46Metadata _),
+    "q47_spherical_knn" -> (GraftQueries.q47SphericalKnn _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -112,7 +113,8 @@ object SparkEntry {
     "q43_text_identity" -> GraftQueries.q43Sql,
     "q44_spherical_radius" -> GraftQueries.q44Sql,
     "q45_incremental" -> GraftQueries.q45Sql,
-    "q46_metadata" -> GraftQueries.q46Sql
+    "q46_metadata" -> GraftQueries.q46Sql,
+    "q47_spherical_knn" -> GraftQueries.q47Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -168,6 +168,67 @@ object SpatialJoin {
       .drop("__cell__")
   }
 
+  /** SEAM-SAFE spherical kNN over WGS84 lon/lat: the k nearest points by
+    * great-circle distance, globally — the [[KnnJoin]] ring loop's
+    * spherical twin. Radius-doubling driver loop over
+    * [[sphericalRadiusJoin]]:
+    *
+    * a query is DONE as soon as it has >= k candidates within radius r,
+    * because the cap-cover join is candidate-COMPLETE within r (coverCap
+    * conservative superset, haversine refine exact) — >= k in-cap
+    * candidates imply the true kth distance <= r, and the in-cap top-k
+    * is then the global top-k. Unresolved queries re-join at 2r; the
+    * radius caps at half the circumference, where the cap is the whole
+    * sphere and everything resolves. At scale each round touches ONLY
+    * the still-pending queries (left_anti pruning), so late rounds are
+    * vanishingly small.
+    *
+    * Ties broken by (distance, point id). Returns (qId, pId, dist_m,
+    * rank <= k).
+    */
+  def sphericalKnn(
+      queries: DataFrame, qId: String, qLat: String, qLng: String,
+      points: DataFrame, pId: String, lat: String, lng: String,
+      k: Int, level: Int = 10, initRadiusMetres: Double = 10000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxRadius = math.Pi * graft.index.S2.EarthRadiusMetres
+    var pending = queries
+    var resolved: DataFrame = null
+    var r = initRadiusMetres
+    var rounds = 0
+    while (rounds < 64 && !pending.isEmpty) {
+      // coarser cells for huge caps keep the per-query cover bounded
+      val lvl = math.max(0, math.min(level,
+        (math.log(2.0e7 / r) / math.log(2.0)).toInt))
+      val cands = sphericalRadiusJoin(pending, qId, qLat, qLng,
+        points, pId, lat, lng, radiusMetres = r, level = lvl)
+      val w = Window.partitionBy(col(qId)).orderBy(col("dist_m"), col(pId))
+      val ranked = cands.withColumn("__rank__", row_number().over(w))
+      val done = ranked
+        .withColumn("__n__", count(lit(1)).over(Window.partitionBy(col(qId))))
+        .filter(col("__n__") >= k)
+        .filter(col("__rank__") <= k)
+        .drop("__n__")
+        .localCheckpoint(true)
+      resolved = if (resolved == null) done else resolved.unionByName(done)
+      val doneQs = done.select(col(qId)).distinct()
+      pending = pending.join(broadcast(doneQs), Seq(qId), "left_anti")
+        .localCheckpoint(true)
+      if (r >= maxRadius) {
+        // cap covered the whole sphere: anything still pending simply has
+        // fewer than k points in the corpus — return what exists
+        val rest = ranked.join(broadcast(pending.select(col(qId))), Seq(qId))
+          .filter(col("__rank__") <= k)
+        resolved = resolved.unionByName(rest)
+        pending = pending.limit(0)
+      }
+      r = math.min(maxRadius, r * 2)
+      rounds += 1
+    }
+    resolved.select(col(qId), col(pId), col("dist_m"),
+      col("__rank__").as("rank"))
+  }
+
   /** Generic geometry-vs-geometry spatial join on any JTS predicate.
     * Both sides explode to cells; pairs meeting in multiple cells are
     * deduped on the caller-supplied key columns.

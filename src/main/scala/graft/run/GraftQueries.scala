@@ -1168,6 +1168,51 @@ object GraftQueries {
       "spatial_representation_type")
   }
 
+  /** SEAM-SAFE spherical kNN, driver-oracle-checked: the 8 nearest
+    * globally-geocoded documents per nation query by great-circle
+    * distance, via the cap-doubling loop over the S2 radius join. Emits
+    * (qid, doc_id, rank) — rank order is engine-stable because the
+    * fixture's smallest consecutive-rank distance gap is 861 m
+    * (measured), dwarfing any libm ulp divergence.
+    */
+  def q47SphericalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val pts = t(spark, dir, "documents").select(
+      col("doc_id"),
+      (((col("doc_id") * 7393L) % 17000L).cast("double") / 100.0 - 85.0).as("lat"),
+      (((col("doc_id") * 9811L) % 36000L).cast("double") / 100.0 - 180.0).as("lng"))
+    val qs = t(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("qid"),
+      (((col("n_nationkey").cast("long") * 1201L) % 16000L).cast("double") / 100.0 - 80.0).as("qlat"),
+      (((col("n_nationkey").cast("long") * 3307L) % 36000L).cast("double") / 100.0 - 180.0).as("qlng"))
+    SpatialJoin.sphericalKnn(qs, "qid", "qlat", "qlng",
+        pts, "doc_id", "lat", "lng", k = 8, initRadiusMetres = 200000.0)
+      .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
+  }
+
+  val q47Sql: String =
+    """WITH pts AS (
+      |  SELECT doc_id,
+      |         ((doc_id * 7393) % 17000) / 100.0 - 85.0 AS lat,
+      |         ((doc_id * 9811) % 36000) / 100.0 - 180.0 AS lng
+      |  FROM documents),
+      |qs AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS qid,
+      |         ((CAST(n_nationkey AS BIGINT) * 1201) % 16000) / 100.0 - 80.0 AS qlat,
+      |         ((CAST(n_nationkey AS BIGINT) * 3307) % 36000) / 100.0 - 180.0 AS qlng
+      |  FROM nation),
+      |d AS (
+      |  SELECT qid, doc_id,
+      |         2 * 6371000.0 * asin(sqrt(
+      |           pow(sin(radians(lat - qlat)/2), 2) +
+      |           cos(radians(qlat)) * cos(radians(lat)) *
+      |           pow(sin(radians(lng - qlng)/2), 2))) AS dm
+      |  FROM qs, pts)
+      |SELECT qid, doc_id, rank FROM (
+      |  SELECT qid, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dm, doc_id) AS BIGINT) AS rank
+      |  FROM d)
+      |WHERE rank <= 8""".stripMargin
+
   val q46Sql: String =
     """SELECT 'Graft sample layer' AS title,
       |'Synthetic GEMINI record for q46.' AS abstract,

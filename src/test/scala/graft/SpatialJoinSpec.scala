@@ -235,6 +235,33 @@ class SpatialJoinSpec extends SparkSpec {
     assert(exp.count(_._1 == 1L) >= 30, "pole query should catch the polar ring")
   }
 
+  test("spherical kNN equals brute-force haversine kNN on a global corpus with seams") {
+    val points = ((0L until 800L).map { i =>
+      (i, -85.0 + rnd(i, 31) * 170.0, -180.0 + rnd(i, 32) * 360.0)
+    } ++ (0L until 30L).map { i =>
+      val lng = if (i % 2 == 0) 179.9 + rnd(i, 33) * 0.09 else -179.99 + rnd(i, 33) * 0.09
+      (30000L + i, -0.5 + rnd(i, 34) * 1.0, lng)
+    } ++ (0L until 30L).map { i =>
+      (40000L + i, 89.7 + rnd(i, 35) * 0.25, -180.0 + rnd(i, 36) * 360.0)
+    }).toDF("pid", "lat", "lng")
+    val queries = Seq(
+      (0L, 0.0, 179.96), (1L, 89.88, 10.0), (2L, -50.0, 60.0), (3L, 0.05, -179.9),
+      (4L, 20.0, -60.0)).toDF("qid", "qlat", "qlng")
+    val got = SpatialJoin.sphericalKnn(queries, "qid", "qlat", "qlng",
+        points, "pid", "lat", "lng", k = 8)
+      .select("qid", "pid", "rank").as[(Long, Long, Int)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("pid"))
+    val exp = points.crossJoin(queries)
+      .withColumn("d", SpatialJoin.haversineMetres(
+        col("lat"), col("lng"), col("qlat"), col("qlng")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8)
+      .select("qid", "pid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got.size == 5 * 8)
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
   test("S2.coverCap conservative-superset property: every in-cap point's cell is covered") {
     import graft.index.S2
     // destination point at (bearing, angular distance) from a start —
