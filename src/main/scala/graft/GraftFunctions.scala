@@ -78,7 +78,11 @@ object GraftFunctions {
       graft.index.S2CellLatLng(es(0), es(1), litLong(es(2), "level").toInt)),
     "rhp_sign" -> ((es: Seq[Expression]) =>
       graft.ops.RandomHyperplaneSign(es(0), litLong(es(1), "bits").toInt,
-        litLong(es(2), "seed")))
+        litLong(es(2), "seed"))),
+    "repetition_signals" -> ((es: Seq[Expression]) =>
+      graft.text.RepetitionSignals(es(0))),
+    "canonicalize_url" -> ((es: Seq[Expression]) => graft.text.UrlCanon(es(0))),
+    "scrub_pii" -> ((es: Seq[Expression]) => graft.text.PiiScrub(es(0)))
   )
 
   def register(spark: SparkSession): Unit =

@@ -67,7 +67,12 @@ object SparkEntry {
     "q44_spherical_radius" -> (GraftQueries.q44SphericalRadius _),
     "q45_incremental" -> (GraftQueries.q45Incremental _),
     "q46_metadata" -> (GraftQueries.q46Metadata _),
-    "q47_spherical_knn" -> (GraftQueries.q47SphericalKnn _)
+    "q47_spherical_knn" -> (GraftQueries.q47SphericalKnn _),
+    "q48_line_dedup" -> (GraftQueries.q48LineDedup _),
+    "q49_repetition" -> (GraftQueries.q49Repetition _),
+    "q50_url_canon" -> (GraftQueries.q50UrlCanon _),
+    "q51_pii_scrub" -> (GraftQueries.q51PiiScrub _),
+    "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -114,7 +119,12 @@ object SparkEntry {
     "q44_spherical_radius" -> GraftQueries.q44Sql,
     "q45_incremental" -> GraftQueries.q45Sql,
     "q46_metadata" -> GraftQueries.q46Sql,
-    "q47_spherical_knn" -> GraftQueries.q47Sql
+    "q47_spherical_knn" -> GraftQueries.q47Sql,
+    "q48_line_dedup" -> GraftQueries.q48Sql,
+    "q49_repetition" -> GraftQueries.q49Sql,
+    "q50_url_canon" -> GraftQueries.q50Sql,
+    "q51_pii_scrub" -> GraftQueries.q51Sql,
+    "q52_bloom_incremental" -> GraftQueries.q52Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

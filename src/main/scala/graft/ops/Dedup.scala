@@ -361,6 +361,13 @@ case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Length-mismatched inputs yield null even when both children are
+  // non-nullable, so nullability must NOT be inherited from the children:
+  // a false `nullable` both mis-declares the schema AND makes
+  // nullSafeCodeGen emit an assignment to a constant-false isNull slot —
+  // the generated projection fails to compile and silently falls back to
+  // the interpreter (caught by ScaleShapeSpec's compile gate).
+  override def nullable: Boolean = true
 
   private lazy val leftFloat =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType

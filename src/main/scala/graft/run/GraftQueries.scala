@@ -1225,4 +1225,188 @@ object GraftQueries {
       |CAST(3 AS BIGINT) AS n_keywords,
       |'dataset' AS quality_scope,
       |'vector' AS spatial_representation_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Training-data cleaning passes (beyond the reference surface)
+  // ------------------------------------------------------------------
+
+  /** CCNet-style corpus-level line dedup, driver-oracle-checked end to
+    * end. Documents carry no newlines, so "lines" are derived row-local
+    * as consecutive 2-word chunks (30-word vocabulary => heavy genuine
+    * cross-document duplication, exercising the drop path hard); the
+    * dedup itself is [[graft.ops.LineDedup]]'s narrow-shuffle exact
+    * pass. Emits per doc: total lines, surviving lines, and the
+    * reassembled surviving text.
+    */
+  def q48LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val lines = words.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), ceil(size(col("words")) / lit(2.0)).cast("long") - 1),
+          i => array_join(slice(col("words"), (i * 2 + 1).cast("int"), lit(2)), " ")))
+          .as(Seq("line_no", "line")))
+      .withColumn("line_no", col("line_no").cast("long"))
+    val kept = graft.ops.LineDedup.dedupLines(lines, "doc_id", "line_no", "line")
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("lines_total"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("lines_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), " ").as("text_kept"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lines_total"),
+        coalesce(col("lines_kept"), lit(0L)).as("lines_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  val q48Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |idx AS (SELECT doc_id, words,
+      |        UNNEST(range(CAST(ceil(len(words) / 2.0) AS BIGINT))) AS line_no
+      |        FROM docs),
+      |lines AS (SELECT doc_id, line_no,
+      |          array_to_string(list_slice(words, line_no*2 + 1, line_no*2 + 2), ' ') AS line
+      |          FROM idx),
+      |rk AS (SELECT doc_id, line_no, line,
+      |       row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS r
+      |       FROM lines)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS lines_total,
+      |       CAST(coalesce(sum(CASE WHEN r = 1 THEN 1 END), 0) AS BIGINT) AS lines_kept,
+      |       coalesce(string_agg(CASE WHEN r = 1 THEN line END, ' ' ORDER BY line_no), '') AS text_kept
+      |FROM rk GROUP BY doc_id""".stripMargin
+
+  /** Gopher-style repetition quality signals as INTEGER counts (total
+    * words, top-word multiplicity, duplicate consecutive 2-/3-grams), so
+    * the oracle compares exactly — the published fractional signals are
+    * these counts over their denominators. Row-local kernel, no shuffle.
+    */
+  def q49Repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.WebClean.repetition_signals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.top_word_n").as("top_word_n"),
+        col("r.dup_2gram_n").as("dup_2gram_n"),
+        col("r.dup_3gram_n").as("dup_3gram_n"))
+
+  val q49Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         UNNEST(string_split(text, ' ')) AS w,
+      |         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+      |  FROM documents),
+      |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM tok GROUP BY doc_id),
+      |topw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n FROM (
+      |         SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w) GROUP BY doc_id),
+      |g2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |d2 AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup_2gram_n
+      |       FROM g2 GROUP BY doc_id),
+      |g3 AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |                  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |d3 AS (SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup_3gram_n
+      |       FROM g3 GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_words, t.top_word_n,
+      |       COALESCE(d2.dup_2gram_n, 0) AS dup_2gram_n,
+      |       COALESCE(d3.dup_3gram_n, 0) AS dup_3gram_n
+      |FROM base b JOIN topw t USING (doc_id)
+      |LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin
+
+  /** URL canonicalization + crawl dedup: messy synthesized URLs (mixed
+    * case, www, default port, unsorted query, fragment) run through the
+    * real parser ([[graft.text.WebClean.canonicalizeUrl]]); the oracle
+    * recomputes the canonical form from the id arithmetic directly.
+    * doc_id%50 in the path (vs 500 docs) forces genuine URL collisions,
+    * exercising the dedup aggregation.
+    */
+  def q50UrlCanon(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), col("doc_id") % 25,
+          lit(".COM:443/Path/"), col("doc_id") % 50,
+          lit("/?b="), col("doc_id") % 7, lit("&a="), col("doc_id") % 5,
+          lit("#s"), col("doc_id") % 3).as("url"))
+      .select(col("doc_id"), graft.text.WebClean.canonicalize_url(col("url")).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min("doc_id").as("keep_doc"), count(lit(1)).as("n_dups"))
+
+  val q50Sql: String =
+    """WITH c AS (SELECT doc_id,
+      |  'https://site' || (doc_id % 25) || '.com/Path/' || (doc_id % 50) ||
+      |  '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7) AS url_canon
+      |  FROM documents)
+      |SELECT url_canon, min(doc_id) AS keep_doc,
+      |       CAST(count(*) AS BIGINT) AS n_dups
+      |FROM c GROUP BY url_canon""".stripMargin
+
+  /** PII scrubbing: emails / IPv4s / phone numbers planted via id
+    * arithmetic, scrubbed by the Java-regex kernel, reproduced by the
+    * oracle with RE2 regexp_replace — the patterns are chosen to have
+    * identical semantics in both dialects.
+    */
+  def q51PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user."), col("doc_id"), lit("+tag@Mail"),
+          col("doc_id") % 9, lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" alt e"), col("doc_id"), lit("@x.org"))).otherwise(lit("")),
+          lit(" from 10.0."), col("doc_id") % 200, lit("."), col("doc_id") % 250,
+          lit(" call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("pii_text"))
+      .select(col("doc_id"), graft.text.WebClean.scrub_pii(col("pii_text")).as("p"))
+      .select(col("doc_id"), col("p.scrubbed").as("scrubbed"),
+        col("p.n_email").as("n_email"), col("p.n_ip").as("n_ip"),
+        col("p.n_phone").as("n_phone"))
+
+  val q51Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |  text || ' reach user.' || doc_id || '+tag@Mail' || (doc_id % 9) || '.Example.COM' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' alt e' || doc_id || '@x.org' ELSE '' END ||
+      |  ' from 10.0.' || (doc_id % 200) || '.' || (doc_id % 250) ||
+      |  ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone
+      |FROM p""".stripMargin
+
+  /** Incremental crawl dedup vs a history corpus through the Bloom
+    * prefilter + exact anti-join ([[graft.ops.BloomDedup]]): even docs
+    * are "history", odd docs are "today's batch", and every doc_id%10==1
+    * batch row is planted with its predecessor's (historical) text, so
+    * the bloom-positive path sees real hits. Result is exact (the bloom
+    * only prunes), so the oracle is plain NOT EXISTS.
+    */
+  def q52BloomIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val hist = d.filter(col("doc_id") % 2 === 0).select(col("text"))
+    val prev = d.select(col("doc_id").as("p_id"), col("text").as("p_text"))
+    val newBatch = d.filter(col("doc_id") % 2 === 1)
+      .join(prev, col("p_id") === col("doc_id") - 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 1, col("p_text")).otherwise(col("text")).as("text"))
+    graft.ops.BloomDedup.newDocs(newBatch, hist, "text").select(col("doc_id"))
+  }
+
+  val q52Sql: String =
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |newd AS (SELECT n.doc_id,
+      |         CASE WHEN n.doc_id % 10 = 1 THEN p.text ELSE n.text END AS text
+      |         FROM documents n JOIN documents p ON p.doc_id = n.doc_id - 1
+      |         WHERE n.doc_id % 2 = 1)
+      |SELECT doc_id FROM newd
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = newd.text)""".stripMargin
 }

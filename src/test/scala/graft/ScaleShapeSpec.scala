@@ -217,4 +217,32 @@ class ScaleShapeSpec extends SparkSpec {
       .select(col("qid"), col("pid"), col("dist2"), col("rank"))
     assertSameRows(got.withColumn("rank", col("rank").cast("int")), exp)
   }
+
+  // ---------- CosineSim codegen compile gate ---------------------------
+
+  test("CosineSim codegen compiles against NON-nullable inputs (no interpreter fallback)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // Non-nullable children used to make `nullable` resolve to false
+    // while the kernel can still return null on a length mismatch —
+    // the generated isNull slot became the constant `false` and the
+    // projection failed to COMPILE, silently dropping the whole
+    // projection to interpreter mode. GenerateUnsafeProjection.generate
+    // throws on a compile error, so this gate fails loudly.
+    val expr = graft.ops.CosineSim(
+      BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false),
+      BoundReference(1, ArrayType(FloatType, containsNull = false), nullable = false))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr), false)
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 0.0f)), ArrayData.toArrayData(Array(1.0f, 0.0f)))
+    assert(math.abs(proj(row).getDouble(0) - 1.0) < 1e-12)
+    // length mismatch -> null, and the declared nullability admits it
+    assert(expr.nullable)
+    val mism = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 0.0f)), ArrayData.toArrayData(Array(1.0f)))
+    assert(proj(mism).isNullAt(0))
+  }
 }
