@@ -242,6 +242,53 @@ object Bench {
     n / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Corpus-level line-dedup throughput (lines/sec): a heavy-dup line
+    * table (~10k distinct boilerplate lines across n rows, CCNet shape)
+    * through [[graft.ops.LineDedup]] — measures the narrow winner
+    * aggregate + hash-keyed tag join end to end.
+    */
+  def lineDedupThroughput(spark: SparkSession, nLines: Long): Double = {
+    val lines = spark.range(0L, nLines, 1L, 64).select(
+        (col("id") / 50L).cast("long").as("doc_id"),
+        (col("id") % 50L).cast("long").as("line_no"),
+        concat(lit("boilerplate line "),
+          pmod(xxhash64(col("id")), lit(10000L)).cast("string"),
+          lit(" shared across pages")).as("line"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    graft.ops.LineDedup.dedupLines(lines, "doc_id", "line_no", "line")
+      .write.format("noop").mode("overwrite").save()
+    nLines / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Row-local web-clean kernel throughput (rows/sec): repetition
+    * signals + PII scrub + URL canonicalization fused in one projection
+    * over ~45-word docs with planted PII — the per-row cleaning cost a
+    * crawl ingest pays before any shuffle.
+    */
+  def webCleanThroughput(spark: SparkSession, n: Long): Double = {
+    val docs = spark.range(0L, n, 1L, 64).select(
+        col("id"),
+        concat(
+          array_join(transform(sequence(lit(0L), lit(44L)),
+            i => pmod(xxhash64(col("id") * 45L + i), lit(80L)).cast("string")), " "),
+          lit(" mail u"), col("id"), lit("@ex"), pmod(col("id"), lit(9L)),
+          lit(".org from 10.1."), pmod(col("id"), lit(200L)),
+          lit("."), pmod(col("id"), lit(250L))).as("text"),
+        concat(lit("HTTPS://WWW.Host"), pmod(col("id"), lit(500L)),
+          lit(".COM:443/p/"), col("id"), lit("?z=1&a=2#x")).as("url"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    docs.select(col("id"),
+        graft.text.WebClean.repetition_signals(col("text")).as("r"),
+        graft.text.WebClean.scrub_pii(col("text")).as("p"),
+        graft.text.WebClean.canonicalize_url(col("url")).as("u"))
+      .select(col("id"), col("r.dup_2gram_n"), col("p.n_email"), col("u"))
+      .groupBy().agg(sum("dup_2gram_n"), sum("n_email"), count(lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -297,6 +344,14 @@ object Bench {
     val rhpRowsPerSec = (1 to 2).map(_ =>
       rhpThroughput(spark, cpusForSizing.toLong * 30000L)).max
 
+    // corpus line dedup (lines/sec) + row-local web-clean kernels (rows/sec)
+    lineDedupThroughput(spark, 100000L) // warm
+    val lineDedupPerSec = (1 to 2).map(_ =>
+      lineDedupThroughput(spark, cpusForSizing.toLong * 60000L)).max
+    webCleanThroughput(spark, 20000L) // warm
+    val webCleanPerSec = (1 to 2).map(_ =>
+      webCleanThroughput(spark, cpusForSizing.toLong * 6000L)).max
+
     // per-query catalogue timings: best-of-2 — a single-shot number is
     // noise-prone (JIT, page cache, GC) and a one-off 15x outlier in the
     // recorded JSON sends later rounds chasing phantom regressions.
@@ -311,7 +366,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"linededup_lines_per_sec":${lineDedupPerSec.round},"webclean_rows_per_sec":${webCleanPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

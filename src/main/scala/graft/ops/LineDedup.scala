@@ -32,7 +32,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object LineDedup {
 
   /** Kept lines of `lines` (columns preserved: docId, lineNo, line).
-    * Null lines are kept verbatim (nothing to compare).
+    * Null lines are kept verbatim (nothing to compare). Contract: docId
+    * and lineNo are NON-NEGATIVE longs and (docId, lineNo) is unique —
+    * the winner aggregate packs the pair into a decimal position key
+    * whose ordering matches lexicographic (docId, lineNo) only then.
     */
   def dedupLines(lines: DataFrame, docIdCol: String, lineNoCol: String,
       lineCol: String): DataFrame =
@@ -53,16 +56,32 @@ object LineDedup {
       .withColumn("__h1__", h1(line))
       .withColumn("__h2__", h2(line))
     // Narrow shuffle #1: winner (min position) per 128-bit content key.
-    // Input projection is (h1, h2, docId, lineNo) — Catalyst prunes the
-    // text from this exchange entirely (gated in ScaleShapeSpec).
+    // Input projection is (h1, h2, packed position) — Catalyst prunes the
+    // text from this exchange entirely (gated in WebCleanSpec).
+    //
+    // The position is packed as docId*10^19 + lineNo into a
+    // Decimal(38,0) — NOT kept as a struct — because min over a struct
+    // (or min_by) has a non-mutable aggregation buffer and plans as a
+    // SortAggregate, which sorts EVERY input partition by the hash pair
+    // before combining: an O(n log n) pass over the whole corpus. The
+    // decimal is UnsafeRow-mutable, so the winner aggregate stays a
+    // HashAggregate whose map-side combine collapses boilerplate
+    // mega-duplicates in O(n). Packing is order-correct for NON-NEGATIVE
+    // ids (any real corpus; both longs < 9.3e18 < 10^19, product
+    // < 9.3e37 < 10^38). Lexicographic (docId, lineNo) semantics are
+    // unchanged — pinned against the struct-min brute force in
+    // WebCleanSpec.
+    val P = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
+    def packed(d: Column, l: Column): Column =
+      d.cast("decimal(38,0)") * P + l.cast("decimal(38,0)")
     val winners = keyed
       .groupBy(col("__h1__"), col("__h2__"))
-      .agg(min(struct(docId, lineNo)).as("__w__"))
+      .agg(min(packed(docId, lineNo)).as("__wp__"))
     // Winner-tag join: the one text-bearing exchange (see scaladoc) —
     // hash-pair keys, AQE-skew-splittable, winners side one row per
     // distinct content.
     val tagged = keyed.join(winners, Seq("__h1__", "__h2__"))
-      .withColumn("__kept__", struct(docId, lineNo) === col("__w__"))
+      .withColumn("__kept__", packed(docId, lineNo) === col("__wp__"))
     val kept = tagged.filter(col("__kept__"))
     // Candidate verify: would-be-dropped rows compare text against their
     // winner. Left side ~ duplicated fraction of the corpus, not all of

@@ -1398,7 +1398,11 @@ object GraftQueries {
       .join(prev, col("p_id") === col("doc_id") - 1)
       .select(col("doc_id"),
         when(col("doc_id") % 10 === 1, col("p_text")).otherwise(col("text")).as("text"))
-    graft.ops.BloomDedup.newDocs(newBatch, hist, "text").select(col("doc_id"))
+    // filter sized to the fixture (250 history docs): keeps the bloom
+    // literal in the plan/codegen proportional to the data, exactly as a
+    // real deployment sizes it to its history cardinality
+    graft.ops.BloomDedup.newDocs(newBatch, hist, "text",
+      expectedItems = 4096L, numBits = 65536L).select(col("doc_id"))
   }
 
   val q52Sql: String =
