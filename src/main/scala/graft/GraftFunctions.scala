@@ -82,6 +82,7 @@ object GraftFunctions {
     "repetition_signals" -> ((es: Seq[Expression]) =>
       graft.text.RepetitionSignals(es(0))),
     "canonicalize_url" -> ((es: Seq[Expression]) => graft.text.UrlCanon(es(0))),
+    "word_counts" -> ((es: Seq[Expression]) => graft.text.WordCountsExpr(es(0))),
     "scrub_pii" -> ((es: Seq[Expression]) => graft.text.PiiScrub(es(0)))
   )
 

@@ -72,7 +72,8 @@ object SparkEntry {
     "q49_repetition" -> (GraftQueries.q49Repetition _),
     "q50_url_canon" -> (GraftQueries.q50UrlCanon _),
     "q51_pii_scrub" -> (GraftQueries.q51PiiScrub _),
-    "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _)
+    "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _),
+    "q53_tfidf" -> (GraftQueries.q53Tfidf _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -124,7 +125,8 @@ object SparkEntry {
     "q49_repetition" -> GraftQueries.q49Sql,
     "q50_url_canon" -> GraftQueries.q50Sql,
     "q51_pii_scrub" -> GraftQueries.q51Sql,
-    "q52_bloom_incremental" -> GraftQueries.q52Sql
+    "q52_bloom_incremental" -> GraftQueries.q52Sql,
+    "q53_tfidf" -> GraftQueries.q53Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -19,8 +19,10 @@ import scala.collection.mutable
   * the distributed pipeline starts at the first transformation. First row
   * is the header (pandas `read_excel` default); column types are inferred
   * (long -> double -> boolean -> string) like the reference's
-  * pandas-to-Spark conversion. Excel date serials surface as numbers
-  * (documented deviation: no number-format table interpretation).
+  * pandas-to-Spark conversion. Cells styled with a date number format
+  * (builtin ECMA-376 ids or custom date codes from styles.xml) surface
+  * as ISO-8601 strings, 1900-leap-bug epoch handling included; ODS
+  * date/time typed cells pass their ISO values through.
   */
 object Xlsx {
 
@@ -35,11 +37,88 @@ object Xlsx {
     toDataFrame(spark, cells)
   }
 
+  /** OOXML builtin date/time numFmtIds (ECMA-376 §18.8.30): 14-22 the
+    * core date/times, 27-36 locale-calendar variants, 45-47 durations
+    * rendered as times, 50-58 more locale variants.
+    */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Custom format code (numFmtId >= 164) is a date format if it uses
+    * y/m/d/h/s date tokens outside quoted literals, [bracketed]
+    * sections, and color/condition blocks — the standard heuristic
+    * (same rule Apache POI documents for `isADateFormat`).
+    */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    var inQuote = false; var inBracket = false
+    var i = 0
+    while (i < code.length) {
+      val c = code.charAt(i)
+      if (inQuote) { if (c == '"') inQuote = false }
+      else if (inBracket) { if (c == ']') inBracket = false }
+      else c match {
+        case '"' => inQuote = true
+        case '[' => inBracket = true
+        case '\\' => i += 1 // escaped literal
+        case 'y' | 'Y' | 'd' | 'D' | 'h' | 'H' | 's' | 'S' | 'm' | 'M' =>
+          return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Style index (cellXfs position) -> is-date, from styles.xml. */
+  private def dateStyles(stylesXml: Option[Array[Byte]]): Set[Int] =
+    stylesXml match {
+      case None => Set.empty
+      case Some(bytes) =>
+        val xml = scala.xml.XML.loadString(new String(bytes, "UTF-8"))
+        val customDateIds = (xml \ "numFmts" \ "numFmt").collect {
+          case f if isDateFormatCode(f \@ "formatCode") => (f \@ "numFmtId").trim.toInt
+        }.toSet
+        (xml \ "cellXfs" \ "xf").zipWithIndex.collect {
+          case (xf, i) if {
+            val id = (xf \@ "numFmtId").trim
+            id.nonEmpty && {
+              val n = id.toInt
+              BuiltinDateFmts.contains(n) || customDateIds.contains(n)
+            }
+          } => i
+        }.toSet
+    }
+
+  /** Excel date serial -> ISO-8601 string. Epoch handling follows the
+    * documented 1900 leap-year bug: serials 1-59 count from 1899-12-31,
+    * serials >= 61 from 1899-12-30 (absorbing the fictitious
+    * 1900-02-29); serial 60 itself surfaces as 1900-02-28. Fractional
+    * days become a " HH:mm:ss" suffix (rounded to the second); pure
+    * dates have none.
+    */
+  private[graft] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val frac = serial - days
+    val date =
+      if (days < 61) java.time.LocalDate.of(1899, 12, 31)
+        .plusDays(math.min(days, 59L))
+      else java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val secs = math.round(frac * 86400.0)
+    if (secs == 0L) date.toString
+    else if (secs == 86400L) date.plusDays(1).toString
+    else {
+      val t = java.time.LocalTime.ofSecondOfDay(secs)
+      s"$date ${"%02d:%02d:%02d".format(t.getHour, t.getMinute, t.getSecond)}"
+    }
+  }
+
   /** Raw cell grid of the first sheet: one Seq per row, ragged rows
     * padded later. Values are Some(string | double | boolean) or None.
     */
   private[input] def readXlsxCells(path: String): Seq[Seq[Option[Any]]] = {
-    val parts = zipEntries(path, Set("xl/sharedStrings.xml", "xl/worksheets/sheet1.xml"))
+    val parts = zipEntries(path, Set("xl/sharedStrings.xml",
+      "xl/worksheets/sheet1.xml", "xl/styles.xml"))
+    val dateStyleIdx = dateStyles(parts.get("xl/styles.xml"))
     val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml") match {
       case Some(bytes) =>
         // <si> items; each concatenates its <t> runs (rich text splits)
@@ -64,10 +143,27 @@ object Xlsx {
           case "inlineStr" => Some((c \ "is" \\ "t").map(_.text).mkString)
           case "b" => v.map(x => x.trim == "1")
           case "e" => None // error cells (#DIV/0!, #N/A, ...) surface as null
+          case "d" =>
+            // ISO-8601 typed date cells pass through IF they parse;
+            // malformed content is null like any other bad cell
+            v.flatMap { s =>
+              val trimmed = s.trim
+              val ok =
+                scala.util.Try(java.time.LocalDateTime.parse(trimmed)).isSuccess ||
+                scala.util.Try(java.time.LocalDate.parse(trimmed)).isSuccess
+              if (ok) Some(trimmed.replace("T", " ")) else None
+            }
           case _ =>
-            // numeric (dates stay serials); an unparseable value in an
-            // unknown cell type is null, never a whole-ingest failure
+            // numeric; cells styled with a date number format (builtin
+            // ids or custom date codes from styles.xml) convert their
+            // serial to an ISO string, like the reference's pandas
+            // read_excel path; an unparseable value in an unknown cell
+            // type is null, never a whole-ingest failure
+            val styleIdx = (c \@ "s").trim
+            val isDate = styleIdx.nonEmpty &&
+              styleIdx.toIntOption.exists(dateStyleIdx.contains)
             v.flatMap(s => s.trim.toDoubleOption)
+              .map(d => if (isDate) serialToIso(d) else d)
         }
         out += value
       }
@@ -110,6 +206,14 @@ object Xlsx {
           case "string" =>
             val t = (cell \\ "p").map(_.text).mkString
             if (t.isEmpty) None else Some(t)
+          case "date" =>
+            cell.attributes.collectFirst {
+              case a if a.key == "date-value" => a.value.text.replace("T", " ")
+            }
+          case "time" =>
+            cell.attributes.collectFirst {
+              case a if a.key == "time-value" => a.value.text
+            }
           case _ => None
         }
         (value, repeat)

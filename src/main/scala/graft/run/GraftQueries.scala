@@ -1413,4 +1413,28 @@ object GraftQueries {
       |         WHERE n.doc_id % 2 = 1)
       |SELECT doc_id FROM newd
       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = newd.text)""".stripMargin
+
+  /** Corpus TF-IDF top-3 terms per document ([[graft.text.TfIdf]]):
+    * row-local TF expression, one word-keyed DF shuffle, integer-exact
+    * scaled-idf scoring so the oracle ranks identically.
+    */
+  def q53Tfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TfIdf.topTerms(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 3)
+
+  val q53Sql: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |           tf.tf * CAST(FLOOR(1000000.0 * n.n / df.df) AS BIGINT) AS score
+      |           FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, word, tf, df, rank FROM (
+      |  SELECT doc_id, word, tf, df,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
 }

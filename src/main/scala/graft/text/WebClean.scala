@@ -84,6 +84,28 @@ object WebClean {
     (n.toLong, top.toLong, dup2, dup3)
   }
 
+  /** Per-document term frequencies, sorted by word — the row-local half
+    * of TF-IDF: computing TF inside the row means the corpus-level DF
+    * aggregation sees each (doc, word) exactly once, so the only shuffle
+    * the whole pipeline needs per stage is the word-keyed DF count (with
+    * map-side combine). Token semantics match [[spaceSplit]].
+    */
+  def wordCounts(text: String): Array[(String, Long)] = {
+    val toks = spaceSplit(text)
+    val m = new java.util.TreeMap[String, Long]()
+    var i = 0
+    while (i < toks.length) {
+      val prev = m.get(toks(i))
+      m.put(toks(i), if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[(String, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    out
+  }
+
   // ------------------------------------------------------------------
   // URL canonicalization
   // ------------------------------------------------------------------
@@ -194,6 +216,8 @@ object WebClean {
 
   def repetition_signals(text: Column): Column =
     Bridge.column(RepetitionSignals(Bridge.expression(text)))
+  def word_counts(text: Column): Column =
+    Bridge.column(WordCountsExpr(Bridge.expression(text)))
   def canonicalize_url(url: Column): Column =
     Bridge.column(UrlCanon(Bridge.expression(url)))
   def scrub_pii(text: Column): Column =
@@ -215,6 +239,23 @@ case class RepetitionSignals(child: Expression)
     val (n, top, d2, d3) =
       WebClean.repetitionCounts(v.asInstanceOf[UTF8String].toString)
     InternalRow(n, top, d2, d3)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** array&lt;struct&lt;word, tf&gt;&gt; sorted by word — see
+  * [[WebClean.wordCounts]].
+  */
+case class WordCountsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val wc = WebClean.wordCounts(v.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      wc.map { case (w, c) => InternalRow(UTF8String.fromString(w), c) })
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -70,6 +70,21 @@ class WebCleanSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent on fuzzed URLs") {
+    val schemes = Array("http", "HTTPS", "ftp")
+    val hosts = Array("WWW.A-b.COM", "x.org", "www.w3.org", "Host.NET:8080",
+      "site.io:443", "u:p@www.q.com")
+    val paths = Array("", "/", "/A/b/", "/x", "/x/y/z/")
+    val queries = Array("", "?b=2&a=1", "?k=2&k=1&j=0", "?single")
+    val frags = Array("", "#f", "#a/b?c")
+    for (s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags) {
+      val u = s"$s://$h$p$q$f"
+      val once = WebClean.canonicalizeUrl(u)
+      assert(WebClean.canonicalizeUrl(once) == once,
+        s"not idempotent: $u -> $once -> ${WebClean.canonicalizeUrl(once)}")
+    }
+  }
+
   // ---------------- PII scrub ----------------------------------------
 
   test("scrubPii replaces emails, IPs, phones with counts") {
@@ -152,6 +167,38 @@ class WebCleanSpec extends SparkSpec {
       assert(hashKeyed.count(_.contains("line#")) <= 1,
         s"line text leaked into extra hash-keyed exchanges:\n${hashKeyed.mkString("\n---\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  // ---------------- TF-IDF --------------------------------------------
+
+  test("wordCounts equals naive token counting, sorted by word") {
+    val wc = WebClean.wordCounts("b a b  c a b").toSeq
+    assert(wc == Seq(("", 1L), ("a", 2L), ("b", 3L), ("c", 1L)))
+    assert(WebClean.wordCounts("x").toSeq == Seq(("x", 1L)))
+  }
+
+  test("TfIdf.topTerms equals brute-force scored oracle") {
+    val docs = (0 until 40).map { d =>
+      val vocab = Array("spark", "data", "the", "a", "corpus", "query", "join", "scan")
+      val n = 5 + (rnd(d, 11) * 20).toInt
+      (d.toLong, (0 until n).map(i => vocab((rnd(d * 50 + i, 12) * 8).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.text.TfIdf.topTerms(docs, "doc_id", "text", 3)
+    // brute force in Scala
+    val rows = docs.as[(Long, String)].collect()
+    val n = rows.length.toLong
+    val tf = rows.flatMap { case (d, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, g) => (d, w, g.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, g) => (w, g.length.toLong) }
+    val exp = tf.map { case (d, w, f) =>
+      (d, w, f, dfm(w), f * math.floor(1000000.0 * n / dfm(w)).toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (_, w, _, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((d, w, f, df2, _), i) => (d, w, f, df2, (i + 1).toLong) }
+    }
+    assertSameRows(got,
+      exp.toDF("doc_id", "word", "tf", "df", "rank"))
   }
 
   // ---------------- Bloom incremental dedup ---------------------------
