@@ -73,7 +73,8 @@ object SparkEntry {
     "q50_url_canon" -> (GraftQueries.q50UrlCanon _),
     "q51_pii_scrub" -> (GraftQueries.q51PiiScrub _),
     "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _),
-    "q53_tfidf" -> (GraftQueries.q53Tfidf _)
+    "q53_tfidf" -> (GraftQueries.q53Tfidf _),
+    "q54_pq_ann" -> (GraftQueries.q54PqAnn _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -127,7 +128,7 @@ object SparkEntry {
     "q51_pii_scrub" -> GraftQueries.q51Sql,
     "q52_bloom_incremental" -> GraftQueries.q52Sql,
     "q53_tfidf" -> GraftQueries.q53Sql
-    // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
+    // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles
     // instead. q21/q22 ARE oracle-checked: the md5-simhash banding is

@@ -1423,6 +1423,25 @@ object GraftQueries {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text", k = 3)
 
+  /** Product-quantization ANN (rows-only driver check; the ADC identity
+    * and recall are pinned in SimilaritySpec): per-subspace codebooks
+    * trained DISTRIBUTED (driver traffic = codebook matrix only), corpus
+    * encoded to M=8 bytes/vector, 5 queries scanned via ADC lookup
+    * tables. Float internals are not SQL-expressible (same no_oracle
+    * class as q24/q25).
+    */
+  def q54PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cb = graft.ops.ProductQuant.trainCodebooksDistributed(
+      corpus, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    graft.ops.ProductQuant.adcTopKReranked(queries, "qid", "qvec",
+        corpus, "vec_id", "embedding", cb, k = 10, shortlist = 50)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+  }
+
   val q53Sql: String =
     """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
