@@ -74,7 +74,8 @@ object SparkEntry {
     "q51_pii_scrub" -> (GraftQueries.q51PiiScrub _),
     "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _),
     "q53_tfidf" -> (GraftQueries.q53Tfidf _),
-    "q54_pq_ann" -> (GraftQueries.q54PqAnn _)
+    "q54_pq_ann" -> (GraftQueries.q54PqAnn _),
+    "q55_components" -> (GraftQueries.q55Components _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -127,7 +128,8 @@ object SparkEntry {
     "q50_url_canon" -> GraftQueries.q50Sql,
     "q51_pii_scrub" -> GraftQueries.q51Sql,
     "q52_bloom_incremental" -> GraftQueries.q52Sql,
-    "q53_tfidf" -> GraftQueries.q53Sql
+    "q53_tfidf" -> GraftQueries.q53Sql,
+    "q55_components" -> GraftQueries.q55Sql
     // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -1442,6 +1442,40 @@ object GraftQueries {
       .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Distributed connected components ([[graft.ops.ConnectedComponents]]):
+    * the pairs->clusters step of production dedup, driver-oracle-checked
+    * against a DuckDB RECURSIVE-CTE transitive closure. The graph is
+    * deterministic id arithmetic over documents: 5-chains (i -> i+1
+    * unless i%5==4) plus long-range merge edges (i -> i+250 when
+    * i%50==3) so components span multiple chains.
+    */
+  def q55Components(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"))
+    val chain = d.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+    val merge = d.filter(col("doc_id") % 50 === 3)
+      .select(col("doc_id").as("a"), (col("doc_id") + 250).as("b"))
+    val edges = chain.unionByName(merge)
+      .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    graft.ops.ConnectedComponents.clusterRepresentatives(edges, "a", "b")
+      .select(col("node"), col("component"), col("keep"))
+  }
+
+  val q55Sql: String =
+    """WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS a, doc_id + 1 AS b FROM nodes WHERE doc_id % 5 != 4
+      |  UNION ALL
+      |  SELECT doc_id AS a, doc_id + 250 AS b FROM nodes WHERE doc_id % 50 = 3),
+      |edges AS (SELECT a, b FROM e0 WHERE b IN (SELECT doc_id FROM nodes)),
+      |sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+      |reach(node, r) AS (
+      |  SELECT u, u FROM sym
+      |  UNION
+      |  SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v)
+      |SELECT node, min(r) AS component, (node = min(r)) AS keep
+      |FROM reach GROUP BY node""".stripMargin
+
   val q53Sql: String =
     """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf

@@ -206,4 +206,57 @@ class DedupSpec extends SparkSpec {
     assert(got.count() == corpus.size - 10) // 10 exact dups collapse
     assert(got.filter(col("n") === 2).count() == 10)
   }
+
+  // ---------------- connected components -------------------------------
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("components equals union-find on fuzzed random graphs") {
+    (0 until 5).foreach { trial =>
+      val edges = (0 until 60).map { i =>
+        val h1 = graft.input.WebTable.splitmix64(trial * 1000L + i * 2L)
+        val h2 = graft.input.WebTable.splitmix64(trial * 1000L + i * 2L + 1L)
+        (java.lang.Long.remainderUnsigned(h1, 40L),
+          java.lang.Long.remainderUnsigned(h2, 40L))
+      }
+      val got = graft.ops.ConnectedComponents
+        .components(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(40, edges), s"trial $trial")
+    }
+  }
+
+  test("components converges on a long chain (diameter-bound topology)") {
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    val got = graft.ops.ConnectedComponents
+      .components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 31 && got.forall(_._2 == 0L))
+  }
+
+  test("clusterRepresentatives composes with minhash pairs: one keeper per cluster") {
+    val df = corpus.toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.6)
+    val reps = graft.ops.ConnectedComponents
+      .clusterRepresentatives(pairs, "a", "b")
+      .as[(Long, Long, Boolean)].collect()
+    // exactly one keeper per component, and it is the min member
+    reps.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._3) == 1, s"component $comp keeper count")
+      assert(members.filter(_._3).head._1 == members.map(_._1).min)
+      assert(comp == members.map(_._1).min)
+    }
+  }
 }
