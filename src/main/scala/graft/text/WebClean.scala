@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -92,17 +91,19 @@ object WebClean {
     */
   def wordCounts(text: String): Array[(String, Long)] = {
     val toks = spaceSplit(text)
-    val m = new java.util.TreeMap[String, Long]()
+    val m = new java.util.TreeMap[String, java.lang.Long]()
     var i = 0
     while (i < toks.length) {
       val prev = m.get(toks(i))
-      m.put(toks(i), if (prev == null) 1L else prev + 1L)
+      m.put(toks(i), if (prev == null) 1L else prev.longValue() + 1L)
       i += 1
     }
     val out = new Array[(String, Long)](m.size)
     val it = m.entrySet().iterator()
     var k = 0
-    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    while (it.hasNext) {
+      val e = it.next(); out(k) = (e.getKey, e.getValue.longValue()); k += 1
+    }
     out
   }
 
@@ -211,6 +212,32 @@ object WebClean {
   }
 
   // ------------------------------------------------------------------
+  // Static kernels for codegen (called from generated Java — same
+  // pattern as RhpKernel: expressions emit one static call instead of
+  // falling back to the interpreted eval path, keeping the whole
+  // projection inside whole-stage codegen without per-row boxing)
+  // ------------------------------------------------------------------
+
+  def repetitionRow(u: UTF8String): InternalRow = {
+    val (n, top, d2, d3) = repetitionCounts(u.toString)
+    InternalRow(n, top, d2, d3)
+  }
+
+  def piiRow(u: UTF8String): InternalRow = {
+    val (s, e, ip, ph) = scrubPii(u.toString)
+    InternalRow(UTF8String.fromString(s), e, ip, ph)
+  }
+
+  def urlCanonU8(u: UTF8String): UTF8String =
+    UTF8String.fromString(canonicalizeUrl(u.toString))
+
+  def wordCountsData(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val wc = wordCounts(u.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      wc.map { case (w, c) => InternalRow(UTF8String.fromString(w), c): Any })
+  }
+
+  // ------------------------------------------------------------------
   // Column API
   // ------------------------------------------------------------------
 
@@ -228,18 +255,21 @@ object WebClean {
   * [[WebClean.repetitionCounts]].
   */
 case class RepetitionSignals(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
     StructField("top_word_n", LongType, nullable = false),
     StructField("dup_2gram_n", LongType, nullable = false),
     StructField("dup_3gram_n", LongType, nullable = false)))
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val (n, top, d2, d3) =
-      WebClean.repetitionCounts(v.asInstanceOf[UTF8String].toString)
-    InternalRow(n, top, d2, d3)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    WebClean.repetitionRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.WebClean.repetitionRow($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -247,42 +277,54 @@ case class RepetitionSignals(child: Expression)
   * [[WebClean.wordCounts]].
   */
 case class WordCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("word", StringType, nullable = false),
     StructField("tf", LongType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val wc = WebClean.wordCounts(v.asInstanceOf[UTF8String].toString)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      wc.map { case (w, c) => InternalRow(UTF8String.fromString(w), c) })
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    WebClean.wordCountsData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.WebClean.wordCountsData($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Canonical crawl-dedup URL — see [[WebClean.canonicalizeUrl]]. */
 case class UrlCanon(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(
-      WebClean.canonicalizeUrl(v.asInstanceOf[UTF8String].toString))
+    WebClean.urlCanonU8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.WebClean.urlCanonU8($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** struct(scrubbed, n_email, n_ip, n_phone) — see [[WebClean.scrubPii]]. */
 case class PiiScrub(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("scrubbed", StringType, nullable = true),
     StructField("n_email", LongType, nullable = false),
     StructField("n_ip", LongType, nullable = false),
     StructField("n_phone", LongType, nullable = false)))
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val (s, e, ip, ph) = WebClean.scrubPii(v.asInstanceOf[UTF8String].toString)
-    InternalRow(UTF8String.fromString(s), e, ip, ph)
-  }
+  override protected def nullSafeEval(v: Any): Any =
+    WebClean.piiRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.WebClean.piiRow($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

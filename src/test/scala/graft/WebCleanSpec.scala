@@ -169,6 +169,23 @@ class WebCleanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("web-clean kernels compile under codegen against non-nullable input") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val in = BoundReference(0, StringType, nullable = false)
+    val exprs = Seq(graft.text.RepetitionSignals(in), graft.text.PiiScrub(in),
+      graft.text.UrlCanon(in), graft.text.WordCountsExpr(in))
+    // generate() throws on a codegen compile error — no silent
+    // interpreter fallback can hide a broken doGenCode
+    val proj = GenerateUnsafeProjection.generate(exprs, false)
+    val row = proj(InternalRow(UTF8String.fromString("a b a mail x@y.io https://www.z.org/p/")))
+    assert(row.getStruct(0, 4).getLong(0) == 6L) // n_words (incl pii text)
+    assert(row.getStruct(1, 4).getLong(1) == 1L) // n_email
+  }
+
   // ---------------- TF-IDF --------------------------------------------
 
   test("wordCounts equals naive token counting, sorted by word") {
