@@ -75,7 +75,9 @@ object SparkEntry {
     "q52_bloom_incremental" -> (GraftQueries.q52BloomIncremental _),
     "q53_tfidf" -> (GraftQueries.q53Tfidf _),
     "q54_pq_ann" -> (GraftQueries.q54PqAnn _),
-    "q55_components" -> (GraftQueries.q55Components _)
+    "q55_components" -> (GraftQueries.q55Components _),
+    "q56_sample_split" -> (GraftQueries.q56SampleSplit _),
+    "q57_packing" -> (GraftQueries.q57Packing _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -129,7 +131,9 @@ object SparkEntry {
     "q51_pii_scrub" -> GraftQueries.q51Sql,
     "q52_bloom_incremental" -> GraftQueries.q52Sql,
     "q53_tfidf" -> GraftQueries.q53Sql,
-    "q55_components" -> GraftQueries.q55Sql
+    "q55_components" -> GraftQueries.q55Sql,
+    "q56_sample_split" -> GraftQueries.q56Sql,
+    "q57_packing" -> GraftQueries.q57Sql
     // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -1476,6 +1476,57 @@ object GraftQueries {
       |SELECT node, min(r) AS component, (node = min(r)) AS keep
       |FROM reach GROUP BY node""".stripMargin
 
+  /** Deterministic mixture sampling + train/val/test split
+    * ([[graft.ops.Pack.sampleAndSplit]]): per-source rates (the domain
+    * mixture weights) joined broadcast, kept rows dealt into splits by
+    * the rescaled uniform. The uniform is id arithmetic so the oracle
+    * reproduces it exactly.
+    */
+  def q56SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val rates = d.select(col("source")).distinct()
+      .withColumn("rate",
+        ((substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(5.0)))
+    val uniform = ((col("doc_id") * 2654435761L) % 1000000L) / lit(1000000.0)
+    graft.ops.Pack.sampleAndSplit(d, uniform, "source", rates, "rate")
+      .select(col("doc_id"), col("source"), col("split"))
+  }
+
+  val q56Sql: String =
+    """WITH u AS (SELECT doc_id, source,
+      |  ((doc_id * 2654435761) % 1000000) / 1000000.0 AS u,
+      |  ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS rate
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN u/rate < 0.05 THEN 'test'
+      |       WHEN u/rate < 0.10 THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM u WHERE u < rate""".stripMargin
+
+  /** GPT-style concat-then-chunk sequence packing
+    * ([[graft.ops.Pack.packSequences]]): whitespace token counts,
+    * 512-token blocks, two-phase distributed prefix sum (no
+    * single-partition exchange — gated in WebCleanSpec). Oracle is the
+    * equivalent SQL running sum.
+    */
+  def q57Packing(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Pack.packSequences(d, "doc_id", "n_tokens", budget = 512L)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("pack_id"))
+  }
+
+  val q57Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |s AS (SELECT doc_id, n_tokens,
+      |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |  FROM tok)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
+      |FROM s""".stripMargin
+
   val q53Sql: String =
     """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf

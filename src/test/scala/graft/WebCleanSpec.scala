@@ -218,6 +218,57 @@ class WebCleanSpec extends SparkSpec {
       exp.toDF("doc_id", "word", "tf", "df", "rank"))
   }
 
+  // ---------------- packing + sampling ---------------------------------
+
+  test("packSequences equals a sequential concat-then-chunk scan") {
+    val docs = (0L until 300L).map(i => (i, 1L + (rnd(i, 21) * 400).toLong))
+      .toDF("doc_id", "n_tokens")
+    val got = graft.ops.Pack.packSequences(docs, "doc_id", "n_tokens", budget = 512L)
+      .select("doc_id", "n_tokens", "start_offset", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var off = 0L
+    val exp = (0L until 300L).map { i =>
+      val t = 1L + (rnd(i, 21) * 400).toLong
+      val r = (i, t, off, off / 512L)
+      off += t
+      r
+    }
+    assert(got.toSeq == exp)
+  }
+
+  test("packSequences plan has no single-partition exchange") {
+    val docs = (0L until 300L).map(i => (i, 1L + (rnd(i, 21) * 400).toLong))
+      .toDF("doc_id", "n_tokens")
+    val p = graft.ops.Pack.packSequences(docs, "doc_id", "n_tokens", 512L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global-sort window leaked into the packing plan:\n$p")
+  }
+
+  test("sampleAndSplit: deterministic, rate-respecting, split fractions hold") {
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 3}")).toDF("id", "dom")
+    val rates = Seq(("s0", 0.5), ("s1", 1.0), ("s2", 0.1)).toDF("dom", "rate")
+    val uniform = ((col("id") * 2654435761L) % 1000000L) / lit(1000000.0)
+    val got = graft.ops.Pack.sampleAndSplit(docs, uniform, "dom", rates, "rate")
+      .select("id", "dom", "split").as[(Long, String, String)].collect()
+    // determinism under different partitioning
+    val again = graft.ops.Pack.sampleAndSplit(docs.repartition(7), uniform,
+        "dom", rates, "rate")
+      .select("id", "dom", "split").as[(Long, String, String)].collect()
+    assert(got.toSet == again.toSet)
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // ~0.5 / 1.0 / 0.1 of ~1333 each
+    assert(math.abs(byDom("s0") - 667) < 80, byDom.toString)
+    assert(byDom("s1") > 1300)
+    assert(math.abs(byDom("s2") - 133) < 50)
+    // split fractions are rate-independent (rescaled uniform)
+    Seq("s0", "s1", "s2").foreach { d =>
+      val rows = got.filter(_._2 == d)
+      val test = rows.count(_._3 == "test").toDouble / rows.length
+      assert(math.abs(test - 0.05) < 0.04, s"$d test frac $test")
+    }
+  }
+
   // ---------------- Bloom incremental dedup ---------------------------
 
   test("BloomDedup.newDocs equals plain anti-join under planted dups") {
