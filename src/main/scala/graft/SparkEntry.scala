@@ -77,7 +77,8 @@ object SparkEntry {
     "q54_pq_ann" -> (GraftQueries.q54PqAnn _),
     "q55_components" -> (GraftQueries.q55Components _),
     "q56_sample_split" -> (GraftQueries.q56SampleSplit _),
-    "q57_packing" -> (GraftQueries.q57Packing _)
+    "q57_packing" -> (GraftQueries.q57Packing _),
+    "q58_stream_clean" -> (GraftQueries.q58StreamClean _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -133,7 +134,8 @@ object SparkEntry {
     "q53_tfidf" -> GraftQueries.q53Sql,
     "q55_components" -> GraftQueries.q55Sql,
     "q56_sample_split" -> GraftQueries.q56Sql,
-    "q57_packing" -> GraftQueries.q57Sql
+    "q57_packing" -> GraftQueries.q57Sql,
+    "q58_stream_clean" -> GraftQueries.q58Sql
     // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

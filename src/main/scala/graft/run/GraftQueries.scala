@@ -1492,6 +1492,33 @@ object GraftQueries {
       .select(col("doc_id"), col("source"), col("split"))
   }
 
+  /** Streaming cleaning ingest — the north rule's continuous-crawl shape
+    * END TO END: documents stream in 3 micro-batches (AvailableNow,
+    * maxFilesPerTrigger=1), each batch is quality-filtered INSIDE the
+    * stream (language allowlist + minimum token count), and each cleaned
+    * batch commits as one Iceberg-style snapshot; the query reads the
+    * final table and pins the snapshot count. Oracle: the same filter
+    * relationally, snapshot count as a constant.
+    */
+  def q58StreamClean(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchStore(spark, "q58")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val vt = graft.streaming.EventStream.streamToVersionedTable(
+      spark, s"$dir/documents.parquet", "doc_id", root, nFiles = 3,
+      queryName = s"graft_clean_${System.nanoTime()}",
+      transform = b => b
+        .filter(col("lang").isin("en", "de") &&
+          size(split(col("text"), " ")) >= 35)
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+    val n = vt.snapshots().size.toLong
+    vt.read(spark).withColumn("n_snapshots", lit(n))
+  }
+
+  val q58Sql: String =
+    """SELECT doc_id, lang, n_chars, CAST(3 AS BIGINT) AS n_snapshots
+      |FROM documents
+      |WHERE lang IN ('en', 'de') AND len(string_split(text, ' ')) >= 35""".stripMargin
+
   val q56Sql: String =
     """WITH u AS (SELECT doc_id, source,
       |  ((doc_id * 2654435761) % 1000000) / 1000000.0 AS u,

@@ -134,7 +134,8 @@ object EventStream {
     */
   def streamToVersionedTable(spark: SparkSession, parquetPath: String,
       tsCol: String, tableRoot: String, nFiles: Int = 4,
-      queryName: String = "graft_stream_ingest"): graft.input.VersionedTable = {
+      queryName: String = "graft_stream_ingest",
+      transform: DataFrame => DataFrame = identity): graft.input.VersionedTable = {
     val streamPath = stageTimeOrdered(spark, parquetPath, tsCol, nFiles)
     val schema = spark.read.parquet(streamPath).schema
     val vt = new graft.input.VersionedTable(tableRoot)
@@ -143,7 +144,9 @@ object EventStream {
     val q = stream.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        vt.commit(batch, "append"): Unit
+        // per-micro-batch cleaning runs INSIDE the stream: each snapshot
+        // holds only rows that passed the transform
+        vt.commit(transform(batch), "append"): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
