@@ -191,6 +191,10 @@ object SpatialJoin {
       points: DataFrame, pId: String, lat: String, lng: String,
       k: Int, level: Int = 10, initRadiusMetres: Double = 10000.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    // r = 0 would never grow under r*2 and the loop would exhaust its
+    // rounds with every query unresolved
+    require(initRadiusMetres > 0, "initRadiusMetres must be positive")
     val maxRadius = math.Pi * graft.index.S2.EarthRadiusMetres
     var pending = queries
     var resolved: DataFrame = null
@@ -225,8 +229,19 @@ object SpatialJoin {
       r = math.min(maxRadius, r * 2)
       rounds += 1
     }
-    resolved.select(col(qId), col(pId), col("dist_m"),
-      col("__rank__").as("rank"))
+    // an incomplete answer must never be returned silently (the cap-at-
+    // maxRadius branch resolves everything well before 64 doublings from
+    // any positive start radius)
+    require(pending.isEmpty,
+      "sphericalKnn did not resolve all queries within 64 doubling rounds")
+    if (resolved == null) // no queries at all
+      queries.select(col(qId)).limit(0)
+        .withColumn(pId, lit(null).cast(points.schema(pId).dataType))
+        .withColumn("dist_m", lit(null).cast("double"))
+        .withColumn("rank", lit(null).cast("int"))
+    else
+      resolved.select(col(qId), col(pId), col("dist_m"),
+        col("__rank__").as("rank"))
   }
 
   /** Generic geometry-vs-geometry spatial join on any JTS predicate.

@@ -1284,6 +1284,9 @@ object GraftQueries {
     */
   def q49Repetition(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      // null text yields no token rows in the oracle's UNNEST; drop it
+      // here too so both engines skip such docs identically
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.text.WebClean.repetition_signals(col("text")).as("r"))
       .select(col("doc_id"), col("r.n_words").as("n_words"),
@@ -1369,19 +1372,27 @@ object GraftQueries {
       |  CASE WHEN doc_id % 3 = 0 THEN ' alt e' || doc_id || '@x.org' ELSE '' END ||
       |  ' from 10.0.' || (doc_id % 200) || '.' || (doc_id % 250) ||
       |  ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
-      |  FROM documents)
+      |  FROM documents),
+      |-- counts follow the kernel's staged semantics exactly: each kind
+      |-- is counted on the text AFTER the prior kinds were replaced (an
+      |-- IP-shaped email domain must not double-count as an IP)
+      |s1 AS (SELECT doc_id, pii_text,
+      |  regexp_replace(pii_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM p),
+      |s2 AS (SELECT doc_id, pii_text, t1,
+      |  regexp_replace(t1,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+      |  FROM s1)
       |SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(pii_text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+      |  regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
       |  CAST(len(regexp_extract_all(pii_text,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-      |  CAST(len(regexp_extract_all(pii_text,
+      |  CAST(len(regexp_extract_all(t1,
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-      |  CAST(len(regexp_extract_all(pii_text,
+      |  CAST(len(regexp_extract_all(t2,
       |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone
-      |FROM p""".stripMargin
+      |FROM s2""".stripMargin
 
   /** Incremental crawl dedup vs a history corpus through the Bloom
     * prefilter + exact anti-join ([[graft.ops.BloomDedup]]): even docs

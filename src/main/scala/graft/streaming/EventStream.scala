@@ -87,19 +87,39 @@ object EventStream {
     * micro-batches in event-time order — the watermark advances
     * monotonically between batches and never drops input.
     */
-  /** Staged-dir cache: the time-ordered re-write of an (immutable)
-    * source fixture is per-(path, tsCol, nFiles) idempotent, so repeated
-    * runs in one JVM (Verify + best-of-N bench) reuse the first staging
-    * instead of re-writing the whole table each run — staging is fixture
-    * construction, not part of the streaming work under test.
+  /** Staged-dir cache: the time-ordered re-write of a source fixture is
+    * idempotent, so repeated runs in one JVM (Verify + best-of-N bench)
+    * reuse the first staging instead of re-writing the whole table each
+    * run — staging is fixture construction, not part of the streaming
+    * work under test. The cache key includes a (name, size, mtime)
+    * fingerprint of the source files, so a caller that re-writes the
+    * same path with DIFFERENT contents re-stages instead of silently
+    * streaming the stale copy; non-local paths bypass the cache.
     */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def sourceFingerprint(parquetPath: String): Option[String] = {
+    val f = new java.io.File(parquetPath)
+    if (!f.exists()) return None
+    val files =
+      if (f.isFile) Array(f)
+      else {
+        val c = f.listFiles()
+        if (c == null) return None else c.filter(_.isFile).sortBy(_.getName)
+      }
+    Some(files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|").hashCode.toString)
+  }
+
   private def stageTimeOrdered(spark: SparkSession, parquetPath: String,
       tsCol: String, nFiles: Int): String =
-    stagedCache.computeIfAbsent(s"$parquetPath|$tsCol|$nFiles",
-      _ => stageTimeOrderedUncached(spark, parquetPath, tsCol, nFiles))
+    sourceFingerprint(parquetPath) match {
+      case None => stageTimeOrderedUncached(spark, parquetPath, tsCol, nFiles)
+      case Some(fp) =>
+        stagedCache.computeIfAbsent(s"$parquetPath|$tsCol|$nFiles|$fp",
+          _ => stageTimeOrderedUncached(spark, parquetPath, tsCol, nFiles))
+    }
 
   private def stageTimeOrderedUncached(spark: SparkSession,
       parquetPath: String, tsCol: String, nFiles: Int): String = {

@@ -262,6 +262,20 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("spherical kNN guards: empty queries yield empty result; zero radius rejected") {
+    val points = Seq((1L, 10.0, 20.0), (2L, 11.0, 21.0)).toDF("pid", "lat", "lng")
+    val noQs = Seq.empty[(Long, Double, Double)].toDF("qid", "qlat", "qlng")
+    val got = SpatialJoin.sphericalKnn(noQs, "qid", "qlat", "qlng",
+      points, "pid", "lat", "lng", k = 2)
+    assert(got.columns.toSeq == Seq("qid", "pid", "dist_m", "rank"))
+    assert(got.count() == 0)
+    val qs = Seq((0L, 10.0, 20.0)).toDF("qid", "qlat", "qlng")
+    intercept[IllegalArgumentException] {
+      SpatialJoin.sphericalKnn(qs, "qid", "qlat", "qlng",
+        points, "pid", "lat", "lng", k = 2, initRadiusMetres = 0.0)
+    }
+  }
+
   test("S2.coverCap conservative-superset property: every in-cap point's cell is covered") {
     import graft.index.S2
     // destination point at (bearing, angular distance) from a start —
