@@ -149,7 +149,15 @@ object WebClean {
     val atAt = authority.lastIndexOf('@')
     val userinfo = if (atAt >= 0) authority.substring(0, atAt + 1) else ""
     val hostPort = authority.substring(atAt + 1)
-    val colonAt = hostPort.lastIndexOf(':')
+    // bracketed IPv6 hosts ([::1]:8080) contain colons; the port colon
+    // can only follow the closing bracket
+    val bracketEnd = if (hostPort.startsWith("[")) hostPort.indexOf(']') else -1
+    val colonAt =
+      if (bracketEnd >= 0)
+        if (bracketEnd + 1 < hostPort.length && hostPort.charAt(bracketEnd + 1) == ':')
+          bracketEnd + 1
+        else -1
+      else hostPort.lastIndexOf(':')
     val portIsNum = colonAt >= 0 && colonAt < hostPort.length - 1 &&
       hostPort.substring(colonAt + 1).forall(_.isDigit)
     var host = (if (portIsNum) hostPort.substring(0, colonAt) else hostPort)

@@ -64,7 +64,11 @@ class WebCleanSpec extends SparkSpec {
       "https://a.org/p?k=2&k=1&a=9" -> "https://a.org/p?a=9&k=2&k=1",
       "https://user:Pw@WWW.B.com/x" -> "https://user:Pw@b.com/x",
       "no-scheme-at-all" -> "no-scheme-at-all",
-      "https://a.org/x#only-frag" -> "https://a.org/x")
+      "https://a.org/x#only-frag" -> "https://a.org/x",
+      // bracketed IPv6: internal colons are not the port separator
+      "https://[2001:DB8::1]:443/x/" -> "https://[2001:db8::1]/x",
+      "http://[::1]:8080/y" -> "http://[::1]:8080/y",
+      "http://[::1]/z" -> "http://[::1]/z")
     cases.foreach { case (in, want) =>
       assert(WebClean.canonicalizeUrl(in) == want, s"in=$in")
     }
