@@ -66,6 +66,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(1) == viaCol)
   }
 
+  test("web-clean kernels reachable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT repetition_signals('a b a b').n_words AS nw,
+        |       repetition_signals('a b a b').dup_2gram_n AS d2,
+        |       canonicalize_url('HTTPS://WWW.X.org:443/p/?b=1&a=2#z') AS u,
+        |       scrub_pii('mail a@b.co now').scrubbed AS s,
+        |       word_counts('x y x')[0].tf AS tf0
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 1L)
+    assert(r.getString(2) == "https://x.org/p?a=2&b=1")
+    assert(r.getString(3) == "mail <EMAIL> now")
+    assert(r.getLong(4) == 2L) // sorted by word: ("x",2) first
+  }
+
   test("SQL spatial predicate + cell explode compose in a query") {
     GraftFunctions.register(spark)
     spark.sql(
