@@ -78,7 +78,8 @@ object SparkEntry {
     "q55_components" -> (GraftQueries.q55Components _),
     "q56_sample_split" -> (GraftQueries.q56SampleSplit _),
     "q57_packing" -> (GraftQueries.q57Packing _),
-    "q58_stream_clean" -> (GraftQueries.q58StreamClean _)
+    "q58_stream_clean" -> (GraftQueries.q58StreamClean _),
+    "q59_contamination" -> (GraftQueries.q59Contamination _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -135,7 +136,8 @@ object SparkEntry {
     "q55_components" -> GraftQueries.q55Sql,
     "q56_sample_split" -> GraftQueries.q56Sql,
     "q57_packing" -> GraftQueries.q57Sql,
-    "q58_stream_clean" -> GraftQueries.q58Sql
+    "q58_stream_clean" -> GraftQueries.q58Sql,
+    "q59_contamination" -> GraftQueries.q59Sql
     // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

@@ -123,6 +123,43 @@ object Dedup {
     Bridge.column(JaccardShingles(
       Bridge.expression(a), Bridge.expression(b), Bridge.expression(w)))
 
+  /** Benchmark-CONTAMINATION check: near-duplicate pairs ACROSS two
+    * corpora (train vs held-out eval — the leak a training pipeline must
+    * detect before the eval numbers mean anything). Same one-shuffle LSH
+    * shape as [[minhashCandidates]] made bipartite: signatures row-local
+    * per side, ONE (band, bucket) equi-join BETWEEN the sides (never a
+    * within-side self-join — the train side's internal duplicates are
+    * irrelevant here and would dominate the candidate set), exact
+    * Jaccard verify on candidates only. Recall caveat as q22: a true
+    * >=threshold pair misses with probability (1-J^r)^bands.
+    */
+  def crossCorpusNearDup(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, shingleWidth: Int = 3,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, id: String, as: String): DataFrame = {
+      val sigs = df.select(col(id).as(as),
+        minhash_sig(col(textCol), numHashes, shingleWidth).as("__sig__"))
+      val keys = array((0 until bands).map(b =>
+        hash(slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      sigs.select(col(as), posexplode(keys).as(Seq("__band__", "__bucket__")))
+    }
+    val cands = banded(left, leftId, "__lid__")
+      .join(banded(right, rightId, "__rid__"), Seq("__band__", "__bucket__"))
+      .select(col("__lid__"), col("__rid__")).distinct()
+    cands
+      .join(left.select(col(leftId).as("__lid__"), col(textCol).as("__tl__")),
+        Seq("__lid__"))
+      .join(right.select(col(rightId).as("__rid__"), col(textCol).as("__tr__")),
+        Seq("__rid__"))
+      .withColumn("jaccard",
+        jaccard_shingles(col("__tl__"), col("__tr__"), lit(shingleWidth)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__lid__").as("a"), col("__rid__").as("b"), col("jaccard"))
+  }
+
   /** Boilerplate-skew-safe near-dup pipeline for web corpora where
     * millions of pages share identical or near-identical text:
     *  1. exact-dup pre-pass — ONE hash shuffle collapses every identical

@@ -1530,6 +1530,62 @@ object GraftQueries {
       |FROM documents
       |WHERE lang IN ('en', 'de') AND len(string_split(text, ' ')) >= 35""".stripMargin
 
+  /** Benchmark-contamination check ([[graft.ops.Dedup.crossCorpusNearDup]]):
+    * docs split train/test by id arithmetic; every 20th doc's TEST text
+    * is planted from a TRAIN doc (the leak), and the bipartite LSH +
+    * exact-Jaccard pass must find exactly the cross-split >=0.8 pairs
+    * the oracle computes relationally. Planted copies have J=1, so
+    * banding recall is exact on them by construction.
+    */
+  def q59Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val train = d.filter(col("doc_id") % 4 =!= 0)
+    val prev = d.select(col("doc_id").as("p_id"), col("text").as("p_text"))
+    val test = d.filter(col("doc_id") % 4 === 0)
+      .join(prev, col("p_id") === col("doc_id") + 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 0, col("p_text")).otherwise(col("text"))
+          .as("text"))
+    graft.ops.Dedup.crossCorpusNearDup(train, "doc_id", test, "doc_id",
+        "text", threshold = 0.8)
+      .select(col("a"), col("b"),
+        floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("jaccard_ppm"))
+  }
+
+  val q59Sql: String =
+    """WITH test0 AS (
+      |  SELECT n.doc_id,
+      |         CASE WHEN n.doc_id % 20 = 0 THEN p.text ELSE n.text END AS text
+      |  FROM documents n JOIN documents p ON p.doc_id = n.doc_id + 1
+      |  WHERE n.doc_id % 4 = 0),
+      |train0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+      |shl AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |               regexp_extract_all(lower(text),
+      |                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS ws
+      |        FROM train0)),
+      |shr AS (
+      |  SELECT doc_id,
+      |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                        for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |               regexp_extract_all(lower(text),
+      |                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS ws
+      |        FROM test0)),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+      |         CAST(len(x.s) + len(y.s) AS DOUBLE) AS tot
+      |  FROM shl x JOIN shr y ON true)
+      |SELECT a, b,
+      |       CAST(FLOOR(1000000.0 * (inter / (tot - inter)) + 0.5) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM pairs WHERE inter / (tot - inter) >= 0.8""".stripMargin
+
   val q56Sql: String =
     """WITH u AS (SELECT doc_id, source,
       |  ((doc_id * 2654435761) % 1000000) / 1000000.0 AS u,

@@ -207,6 +207,34 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("n") === 2).count() == 10)
   }
 
+  test("crossCorpusNearDup finds planted contamination, never within-side pairs") {
+    val all = corpus.toDF("doc_id", "text")
+    val train = all.filter(col("doc_id") % 2 === 0)
+    // test side: fresh ids, half planted from train texts (the leak)
+    val trainTexts = corpus.filter(_._1 % 2 == 0)
+    val test = (0 until 20).map { i =>
+      val id = 9000L + i
+      if (i % 2 == 0) (id, trainTexts(i)._2) // contaminated
+      else (id, s"unique holdout text number $i with no overlap at all")
+    }.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.crossCorpusNearDup(
+        train, "doc_id", test, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    // every planted (J=1) pair found; sides correct
+    val found = got.map(p => (p._1, p._2)).toSet
+    (0 until 20 by 2).foreach { i =>
+      assert(found.contains((trainTexts(i)._1, 9000L + i)),
+        s"planted leak $i missed")
+    }
+    got.foreach { case (a, b, j) =>
+      assert(a % 2 == 0 && b >= 9000L, s"pair ($a,$b) crosses wrong sides")
+      assert(j >= 0.8)
+    }
+    // clean holdout rows never flagged
+    assert(got.forall(p => p._2 % 2 == 0 || p._2 < 9000L + 20))
+    assert(!got.exists(p => (p._2 - 9000L) % 2 == 1))
+  }
+
   // ---------------- connected components -------------------------------
 
   private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
