@@ -75,17 +75,17 @@ object Xlsx {
       case None => Set.empty
       case Some(bytes) =>
         val xml = scala.xml.XML.loadString(new String(bytes, "UTF-8"))
-        val customDateIds = (xml \ "numFmts" \ "numFmt").collect {
-          case f if isDateFormatCode(f \@ "formatCode") => (f \@ "numFmtId").trim.toInt
+        // Malformed numFmtId attributes degrade to "not a date format"
+        // (toIntOption), matching the file-wide policy that bad cells or
+        // styles never fail the whole ingest.
+        val customDateIds = (xml \ "numFmts" \ "numFmt").flatMap { f =>
+          if (isDateFormatCode(f \@ "formatCode"))
+            (f \@ "numFmtId").trim.toIntOption
+          else None
         }.toSet
         (xml \ "cellXfs" \ "xf").zipWithIndex.collect {
-          case (xf, i) if {
-            val id = (xf \@ "numFmtId").trim
-            id.nonEmpty && {
-              val n = id.toInt
-              BuiltinDateFmts.contains(n) || customDateIds.contains(n)
-            }
-          } => i
+          case (xf, i) if (xf \@ "numFmtId").trim.toIntOption.exists(n =>
+            BuiltinDateFmts.contains(n) || customDateIds.contains(n)) => i
         }.toSet
     }
 

@@ -108,6 +108,13 @@ object Categorize {
     * collided subset; empty at any realistic scale, and the broadcast join
     * never shuffles the fact table). DENSE_RANK-over-value semantics are
     * identical to the broadcast path.
+    *
+    * NOTE — eager: although this returns a lazy DataFrame, building the
+    * plan runs Spark jobs at CALL time ([[denseCodes]] pins its range
+    * partitioning and collects per-partition counts; that pinned
+    * dictionary input stays in the block manager for the session — see
+    * [[graft.core.Pinned.free]]). The join-back dictionary itself is an
+    * evictable `persist(MEMORY_AND_DISK)`, not a pinned checkpoint.
     */
   def categorizeColumnPlan(df: DataFrame, column: String, codeCol: String,
       hintBroadcast: Boolean = true): DataFrame = {
@@ -120,14 +127,19 @@ object Categorize {
       def h1(c: Column) = when(c.isNull, lit(null)).otherwise(xxhash64(c))
       def h2(c: Column) =
         when(c.isNull, lit(null)).otherwise(xxhash64(lit("graft-h2"), c))
-      // Materialize the (value, h1, h2, code) dictionary ONCE (eager local
-      // checkpoint, disk-spillable): it feeds three consumers (collision
-      // scan, clean, dirty) and an unmaterialized fork would replay the
-      // rank window — and its text-bearing exchange — per consumer. After
-      // this point no exchange in the join-back plan carries the values
-      // at all (gated in ScaleShapeSpec).
+      // Cache the (value, h1, h2, code) dictionary ONCE (lazy, evictable
+      // MEMORY_AND_DISK persist): it feeds three consumers (collision
+      // scan, clean, dirty) and an uncached fork would replay the rank
+      // window — and its text-bearing exchange — per consumer. persist()
+      // rather than localCheckpoint: correctness does not need lineage
+      // truncation here (the partition-id-sensitive step is already
+      // pinned INSIDE denseCodes), so the cache stays evictable under
+      // memory pressure and the API stays lazy — no Spark job runs at
+      // plan-construction time. After this point no exchange in the
+      // join-back plan carries the values at all (gated in ScaleShapeSpec).
       val dict = codes.select(col(column), h1(col(column)).as("__h1__"),
-        h2(col(column)).as("__h2__"), col(codeCol)).localCheckpoint(true)
+        h2(col(column)).as("__h2__"), col(codeCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Collision detection shuffles ONLY (h1, h2): the aggregation input
       // is projected to the two longs, and the collided key set (empty at
       // any realistic scale) broadcasts back against the dictionary, so

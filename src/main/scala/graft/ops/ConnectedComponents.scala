@@ -39,6 +39,10 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
+    // Superseded label tables (and sym) are unpersisted as soon as their
+    // successor is materialized — a localCheckpoint(true) block is
+    // lineage-truncated and NOT evictable, so leaving up to maxIters
+    // copies pinned would starve the block manager on a long session.
     while (changed > 0 && it < maxIters) {
       val neighbourMin = sym
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
@@ -60,12 +64,16 @@ object ConnectedComponents {
         .localCheckpoint(true)
       changed = next
         .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
+        .filter(col("label") =!= col("old")).count() // materializes `next`
+      graft.core.Pinned.free(labels) // superseded — free its pinned blocks
       labels = next
       it += 1
     }
+    graft.core.Pinned.free(sym)
     require(changed == 0,
       s"connected components did not converge in $maxIters iterations")
+    // `labels` (the fixpoint) stays pinned: it is lineage-truncated, so it
+    // must survive until the caller consumes the returned frame.
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -27,6 +27,15 @@ object Pack {
     *     longs), prefix-sum them on the driver, broadcast the offsets.
     * No `Exchange SinglePartition` at any cardinality (gated in
     * WebCleanSpec).
+    *
+    * NOTE — eager, and pins blocks: unlike a plain DataFrame transform,
+    * this runs Spark jobs at CALL time (the pinning checkpoint + the
+    * totals collect) and the checkpointed input stays pinned in the
+    * block manager until the session ends or the caller frees it via
+    * [[graft.core.Pinned.free]] once the returned frame has been fully
+    * consumed. The pinning is a correctness requirement, not a cache:
+    * `spark_partition_id` is only stable against a materialized,
+    * lineage-truncated RDD.
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long): DataFrame = {

@@ -216,8 +216,13 @@ object SpatialJoin {
         .localCheckpoint(true)
       resolved = if (resolved == null) done else resolved.unionByName(done)
       val doneQs = done.select(col(qId)).distinct()
+      val prevPending = pending
       pending = pending.join(broadcast(doneQs), Seq(qId), "left_anti")
         .localCheckpoint(true)
+      // The superseded pending table's pinned blocks are freed below —
+      // `done` is itself checkpointed, so nothing in `resolved` re-reads
+      // them. Round 0's pending is the caller's frame: never touch it.
+      var freePrev = rounds > 0
       if (r >= maxRadius) {
         // cap covered the whole sphere: anything still pending simply has
         // fewer than k points in the corpus — return what exists
@@ -225,7 +230,12 @@ object SpatialJoin {
           .filter(col("__rank__") <= k)
         resolved = resolved.unionByName(rest)
         pending = pending.limit(0)
+        // `rest` is NOT checkpointed and lazily re-reads this round's
+        // candidates (which derive from prevPending) when the caller
+        // consumes `resolved` — prevPending must stay pinned.
+        freePrev = false
       }
+      if (freePrev) graft.core.Pinned.free(prevPending)
       r = math.min(maxRadius, r * 2)
       rounds += 1
     }

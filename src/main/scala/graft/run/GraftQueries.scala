@@ -920,7 +920,7 @@ object GraftQueries {
       |FROM nation""".stripMargin
 
   /** Streaming exact dedup (REAL multi-batch streaming run, AvailableNow,
-    * 4 event-time-ordered micro-batches): first-seen (user_id, event_type)
+    * 3 event-time-ordered micro-batches): first-seen (user_id, event_type)
     * pairs via watermarked `dropDuplicatesWithinWatermark` — bounded
     * state, keys evicted once the watermark passes their horizon. Only
     * the key columns are emitted, so the result is order-independent;
@@ -1470,6 +1470,7 @@ object GraftQueries {
       .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
     graft.ops.ConnectedComponents.clusterRepresentatives(edges, "a", "b")
       .select(col("node"), col("component"), col("keep"))
+      .orderBy(col("node")) // canonical output order for the driver's hasher
   }
 
   val q55Sql: String =
@@ -1551,6 +1552,7 @@ object GraftQueries {
       .select(col("a"), col("b"),
         floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
           .as("jaccard_ppm"))
+      .orderBy(col("a"), col("b")) // canonical output order for the driver's hasher
   }
 
   val q59Sql: String =
@@ -1608,6 +1610,7 @@ object GraftQueries {
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     graft.ops.Pack.packSequences(d, "doc_id", "n_tokens", budget = 512L)
       .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("pack_id"))
+      .orderBy(col("doc_id")) // canonical output order for the driver's hasher
   }
 
   val q57Sql: String =

@@ -274,6 +274,22 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 31 && got.forall(_._2 == 0L))
   }
 
+  test("components frees superseded checkpoints: bounded pinned blocks after N rounds") {
+    // Force several pointer-halving rounds with a long chain; without
+    // the per-round Pinned.free, every superseded label table (plus sym)
+    // would stay in getPersistentRDDs for the life of the session.
+    val preFree = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 60L).map(i => (i, i + 1))
+    val out = graft.ops.ConnectedComponents
+      .components(edges.toDF("a", "b"), "a", "b")
+    assert(out.count() == 61)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preFree
+    // exactly the fixpoint label table may remain pinned (it backs the
+    // returned frame); sym + all superseded iterations must be gone
+    assert(leaked.size <= 1,
+      s"expected <=1 surviving pinned RDD (the fixpoint), got ${leaked.size}")
+  }
+
   test("clusterRepresentatives composes with minhash pairs: one keeper per cluster") {
     val df = corpus.toDF("doc_id", "text")
     val pairs = Dedup.minhashDedup(df, "doc_id", "text", threshold = 0.6)

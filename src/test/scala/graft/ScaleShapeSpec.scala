@@ -30,13 +30,19 @@ class ScaleShapeSpec extends SparkSpec {
       assert(!b.contains("text#"),
         s"surrogate-key exchange still ships document text:\n$b")
     }
-    // NO exchange in the join-back plan may carry text: the dictionary's
-    // inherent rank shuffles (range + pid window, O(distinct values))
-    // happen once inside the eager dict build, and the fact table never
-    // shuffles text at all.
+    // The fact table never shuffles text. The ONLY text-bearing
+    // exchanges allowed are the dictionary build's inherent rank
+    // shuffles — O(distinct values), not O(corpus): the range exchange
+    // over distinct values and the __pid__-keyed window exchange (both
+    // now visible in the plan because the dict is an evictable persist()
+    // rather than a lineage-truncating checkpoint; the bytes moved are
+    // identical, and the byte-ratio test below measures them).
     val textExchanges = exchanges.filter(_.contains("text#"))
-    assert(textExchanges.isEmpty,
-      s"text-bearing exchanges leaked into the join-back plan:\n${textExchanges.mkString("\n---\n")}")
+    val dictBuild = (b: String) =>
+      b.contains("hashpartitioning(__pid__") || b.contains("rangepartitioning(")
+    val factTextExchanges = textExchanges.filterNot(dictBuild)
+    assert(factTextExchanges.isEmpty,
+      s"corpus-sized text-bearing exchanges leaked into the join-back plan:\n${factTextExchanges.mkString("\n---\n")}")
   }
 
   test("categorize hash join-back equals broadcast join-back (nulls, dups)") {
