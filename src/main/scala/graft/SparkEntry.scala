@@ -79,7 +79,9 @@ object SparkEntry {
     "q56_sample_split" -> (GraftQueries.q56SampleSplit _),
     "q57_packing" -> (GraftQueries.q57Packing _),
     "q58_stream_clean" -> (GraftQueries.q58StreamClean _),
-    "q59_contamination" -> (GraftQueries.q59Contamination _)
+    "q59_contamination" -> (GraftQueries.q59Contamination _),
+    "q60_bmp_decode" -> (GraftQueries.q60BmpDecode _),
+    "q61_lineage" -> (GraftQueries.q61Lineage _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -133,16 +135,20 @@ object SparkEntry {
     "q51_pii_scrub" -> GraftQueries.q51Sql,
     "q52_bloom_incremental" -> GraftQueries.q52Sql,
     "q53_tfidf" -> GraftQueries.q53Sql,
+    "q54_pq_ann" -> GraftQueries.q54Sql,
     "q55_components" -> GraftQueries.q55Sql,
     "q56_sample_split" -> GraftQueries.q56Sql,
     "q57_packing" -> GraftQueries.q57Sql,
     "q58_stream_clean" -> GraftQueries.q58Sql,
-    "q59_contamination" -> GraftQueries.q59Sql
-    // q20/q23-q26, q30, q54: minhash-signature / float-cosine / spherical-cell / PQ
+    "q59_contamination" -> GraftQueries.q59Sql,
+    "q60_bmp_decode" -> GraftQueries.q60Sql,
+    "q61_lineage" -> GraftQueries.q61Sql
+    // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles
     // instead. q21/q22 ARE oracle-checked: the md5-simhash banding is
     // pigeonhole-exact and the shingle-Jaccard verify is recomputed
-    // relationally with DuckDB list ops.
+    // relationally with DuckDB list ops. q54 (PQ-ANN) became
+    // oracle-exact in round 4 via the integer-Lloyd trainer.
   )
 }

@@ -2,6 +2,7 @@ package graft.geo
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -77,19 +78,60 @@ case class StGeomKey(child: Expression)
   */
 case class StPredicatePointKeyed(first: Expression, second: Expression,
     third: Expression, fourth: Expression, op: String)
-    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(k: Any, g: Any, xv: Any, yv: Any): Any = {
-    val pg = StPredicatePoint.preparedByKey(k.asInstanceOf[Long],
+    val t = StPredicatePoint.testerByKey(k.asInstanceOf[Long],
       g.asInstanceOf[Array[Byte]])
-    val pt = StPredicatePoint.point.get()
-    val coord = pt.getCoordinate
-    coord.x = xv.asInstanceOf[Double]
-    coord.y = yv.asInstanceOf[Double]
-    pt.geometryChanged()
-    if (op == "contains") pg.contains(pt) else pg.covers(pt)
+    StPredicatePoint.testPoint(t, xv.asInstanceOf[Double],
+      yv.asInstanceOf[Double], op == "contains")
+  }
+
+  /** Real codegen with a LAZY binary child: this predicate runs once per
+    * candidate row of the spatial join — the round-3 CodegenFallback
+    * boxed the key and both coords AND copied the ~100-byte WKB out of
+    * the (broadcast) row on EVERY row, ~150 B of garbage per candidate;
+    * at full 32-thread saturation the collector became the join stage's
+    * scaling wall (ProfileScaling: encode 0.81 eff, join 0.66). Here the
+    * key/x/y are unboxed and the WKB child's code is emitted INSIDE the
+    * cache-miss branch, so the hit path (every row after the first per
+    * polygon per thread) allocates nothing and never touches the bytes.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val keyCode = first.genCode(ctx)
+    val xCode = third.genCode(ctx)
+    val yCode = fourth.genCode(ctx)
+    val gCode = second.genCode(ctx) // emitted only inside the miss branch
+    val pg = ctx.freshName("pg")
+    val contains = if (op == "contains") "true" else "false"
+    val code =
+      code"""
+        |${keyCode.code}
+        |${xCode.code}
+        |${yCode.code}
+        |boolean ${ev.isNull} = ${keyCode.isNull} || ${xCode.isNull} || ${yCode.isNull};
+        |boolean ${ev.value} = false;
+        |if (!${ev.isNull}) {
+        |  graft.geo.PointTester $pg =
+        |    graft.geo.StPredicatePoint.testerByKeyOrNull(${keyCode.value});
+        |  if ($pg == null) {
+        |    ${gCode.code}
+        |    if (${gCode.isNull}) { ${ev.isNull} = true; }
+        |    else {
+        |      $pg = graft.geo.StPredicatePoint.testerByKeyPut(${keyCode.value}, ${gCode.value});
+        |    }
+        |  }
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = graft.geo.StPredicatePoint.testPoint($pg,
+        |      ${xCode.value}, ${yCode.value}, $contains);
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression, q: Expression): Expression = copy(f, s, t, q)
@@ -107,53 +149,114 @@ case class StPredicatePoint(first: Expression, second: Expression,
 
   override protected def nullSafeEval(g: Any, xv: Any, yv: Any): Any = {
     val wkb = g.asInstanceOf[Array[Byte]]
-    val pg = StPredicatePoint.prepared(wkb)
-    // reuse one mutable point per thread: zero geometry allocation per row
-    val pt = StPredicatePoint.point.get()
-    val coord = pt.getCoordinate
-    coord.x = xv.asInstanceOf[Double]
-    coord.y = yv.asInstanceOf[Double]
-    pt.geometryChanged()
-    if (op == "contains") pg.contains(pt) else pg.covers(pt)
+    val t = StPredicatePoint.tester(wkb)
+    StPredicatePoint.testPoint(t, xv.asInstanceOf[Double],
+      yv.asInstanceOf[Double], op == "contains")
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
-object StPredicatePoint {
-  private[geo] val point = ThreadLocal.withInitial[org.locationtech.jts.geom.Point](
-    () => Wkb.factory.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0)))
+/** Thread-confined point-predicate evaluator for ONE geometry, built
+  * once per (thread, geometry) and cached. Three tiers, cheapest exact
+  * method first:
+  *  - axis-aligned rectangle: the envelope test IS the covers test
+  *    (4 double compares per row; JTS's own Geometry.covers applies the
+  *    same shortcut) and strict envelope interiority is contains;
+  *  - any other polygonal geometry: envelope reject then
+  *    IndexedPointInAreaLocator.locate on a reused Coordinate —
+  *    covers == not EXTERIOR, contains == INTERIOR, no Point object, no
+  *    per-row envelope realloc (the prepared-geometry path allocated an
+  *    Envelope via geometryChanged + visitor objects per call — the
+  *    largest remaining garbage source in the spatial join's refine);
+  *  - non-polygonal geometry: PreparedGeometry with a private mutable
+  *    Point (rare — point/line dims in a PIP join).
+  */
+final class PointTester(geom: Geometry) {
+  private val env = geom.getEnvelopeInternal
+  private val minX = env.getMinX; private val maxX = env.getMaxX
+  private val minY = env.getMinY; private val maxY = env.getMaxY
+  private val rect = geom.isRectangle
+  private val locator =
+    if (!rect && geom.isInstanceOf[org.locationtech.jts.geom.Polygonal])
+      new org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator(geom)
+    else null
+  private val prepared =
+    if (rect || locator != null) null
+    else org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+  private val coord = new org.locationtech.jts.geom.Coordinate(0, 0)
+  private val pt =
+    if (prepared != null) Wkb.factory.createPoint(new org.locationtech.jts.geom.Coordinate(0, 0))
+    else null
 
+  def covers(x: Double, y: Double): Boolean = {
+    if (x < minX || x > maxX || y < minY || y > maxY) false
+    else if (rect) true
+    else if (locator != null) {
+      coord.x = x; coord.y = y
+      locator.locate(coord) != org.locationtech.jts.geom.Location.EXTERIOR
+    } else slowPath(x, y, contains = false)
+  }
+
+  def contains(x: Double, y: Double): Boolean = {
+    if (rect) x > minX && x < maxX && y > minY && y < maxY
+    else if (x < minX || x > maxX || y < minY || y > maxY) false
+    else if (locator != null) {
+      coord.x = x; coord.y = y
+      locator.locate(coord) == org.locationtech.jts.geom.Location.INTERIOR
+    } else slowPath(x, y, contains = true)
+  }
+
+  private def slowPath(x: Double, y: Double, contains: Boolean): Boolean = {
+    val c = pt.getCoordinate
+    c.x = x; c.y = y
+    pt.geometryChanged()
+    if (contains) prepared.contains(pt) else prepared.covers(pt)
+  }
+}
+
+object StPredicatePoint {
   private val cache = ThreadLocal.withInitial[
-      java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry]](
-    () => new java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.geom.prep.PreparedGeometry](
+      java.util.LinkedHashMap[java.lang.Long, PointTester]](
+    () => new java.util.LinkedHashMap[java.lang.Long, PointTester](
         1024, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long,
-          org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean = size() > 512
+          PointTester]): Boolean = size() > 512
     })
 
-  private[geo] def hashBytes(b: Array[Byte]): Long = {
+  private[graft] def hashBytes(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < b.length) { h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L; i += 1 }
     h
   }
 
-  def prepared(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry =
-    preparedByKey(hashBytes(wkb), wkb)
+  def tester(wkb: Array[Byte]): PointTester =
+    testerByKey(hashBytes(wkb), wkb)
 
-  def preparedByKey(keyHash: Long, wkb: Array[Byte])
-      : org.locationtech.jts.geom.prep.PreparedGeometry = {
-    val key = java.lang.Long.valueOf(keyHash)
-    val c = cache.get()
-    val hit = c.get(key)
-    if (hit != null) hit
-    else {
-      val pg = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(Wkb.read(wkb))
-      c.put(key, pg)
-      pg
-    }
+  def testerByKey(keyHash: Long, wkb: Array[Byte]): PointTester = {
+    val hit = testerByKeyOrNull(keyHash)
+    if (hit != null) hit else testerByKeyPut(keyHash, wkb)
   }
+
+  /** Hit-path lookup for the codegen'd predicate: no boxing beyond the
+    * Long key, no WKB access. Returns null on miss.
+    */
+  def testerByKeyOrNull(keyHash: Long): PointTester =
+    cache.get().get(java.lang.Long.valueOf(keyHash))
+
+  /** Miss-path insert: build the tester from the WKB (first sight of
+    * this geometry on this thread) and cache.
+    */
+  def testerByKeyPut(keyHash: Long, wkb: Array[Byte]): PointTester = {
+    val t = new PointTester(Wkb.read(wkb))
+    cache.get().put(java.lang.Long.valueOf(keyHash), t)
+    t
+  }
+
+  /** Predicate dispatch for interpreted eval and generated code. */
+  def testPoint(t: PointTester, x: Double, y: Double, contains: Boolean): Boolean =
+    if (contains) t.contains(x, y) else t.covers(x, y)
 }
 
 /** (minx, miny, maxx, maxy) -> WKB box polygon (shapely.geometry.box). */

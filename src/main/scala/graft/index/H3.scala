@@ -98,6 +98,26 @@ object H3 {
     Array.iterate(hexSize0, MaxRes + 1)(_ / math.sqrt(7.0))
   private val resAngles: Array[Double] =
     Array.tabulate(MaxRes + 1)(_ * rot7)
+  // Per-res rotation cos/sin tables: parent() sat in the multi-res
+  // kernel's per-row path with FOUR math.cos/sin calls per step (x5
+  // steps per row at the north rule's res 7-12 width) — all of constant
+  // angles. Tables turn the rotation into pure multiply-adds.
+  private val resCos: Array[Double] = resAngles.map(math.cos)
+  private val resSin: Array[Double] = resAngles.map(math.sin)
+  private val Sqrt3 = math.sqrt(3.0)
+  private val Sqrt3Third = math.sqrt(3.0) / 3.0
+
+  // Flat face-geometry tables for the scalar (allocation-free) cellId
+  // path: tangent-plane basis + centers as parallel double arrays.
+  private val fcx = faceCenters.map(_(0))
+  private val fcy = faceCenters.map(_(1))
+  private val fcz = faceCenters.map(_(2))
+  private val axXx = faceAxes.map(_._1(0))
+  private val axXy = faceAxes.map(_._1(1))
+  private val axXz = faceAxes.map(_._1(2))
+  private val axYx = faceAxes.map(_._2(0))
+  private val axYy = faceAxes.map(_._2(1))
+  private val axYz = faceAxes.map(_._2(2))
 
   /** Hex size and accumulated rotation at a resolution. */
   private def resGeom(res: Int): (Double, Double) = (resSizes(res), resAngles(res))
@@ -110,27 +130,39 @@ object H3 {
     val phiR = math.toRadians(latDeg)
     val theta = math.toRadians(lngDeg)
     val cosPhi = math.cos(phiR)
-    val p = Array(math.cos(theta) * cosPhi, math.sin(theta) * cosPhi,
-      math.sin(phiR))
-    val f = faceOf(p)
-    val c = faceCenters(f)
+    // unit vector on the sphere — scalars, no per-row array
+    val vx = math.cos(theta) * cosPhi
+    val vy = math.sin(theta) * cosPhi
+    val vz = math.sin(phiR)
+    // nearest face center (deterministic tie-break: lowest index)
+    var f = 0
+    var bestDot = -2.0
+    var fi = 0
+    while (fi < 20) {
+      val d = vx * fcx(fi) + vy * fcy(fi) + vz * fcz(fi)
+      if (d > bestDot + 1e-15) { bestDot = d; f = fi }
+      fi += 1
+    }
     // gnomonic projection onto the tangent plane at the face center
-    val d = dot(p, c)
-    val px = dot(p, faceAxes(f)._1) / d
-    val py = dot(p, faceAxes(f)._2) / d
-    val size = resSizes(res); val ang = resAngles(res)
-    val ca = math.cos(-ang); val sa = math.sin(-ang)
+    val d = vx * fcx(f) + vy * fcy(f) + vz * fcz(f)
+    val px = (vx * axXx(f) + vy * axXy(f) + vz * axXz(f)) / d
+    val py = (vx * axYx(f) + vy * axYy(f) + vz * axYz(f)) / d
+    val size = resSizes(res)
+    // rotate by -ang: cos(-a)=cos a, sin(-a)=-sin a (table lookup)
+    val ca = resCos(res); val sa = -resSin(res)
     val rx = px * ca - py * sa
     val ry = px * sa + py * ca
     // axial hex coords (pointy-top): q = (sqrt(3)/3 x - 1/3 y)/s, r = 2/3 y / s
-    val q = (math.sqrt(3.0) / 3.0 * rx - ry / 3.0) / size
+    val q = (Sqrt3Third * rx - ry / 3.0) / size
     val rr = (2.0 / 3.0 * ry) / size
-    val (qi, ri) = cubeRound(q, rr)
-    pack(res, f, qi, ri)
+    val qr = cubeRoundPacked(q, rr)
+    pack(res, f, (qr >> 32).toInt, qr.toInt)
   }
 
-  /** Standard cube rounding of fractional axial coordinates. */
-  def cubeRound(q: Double, r: Double): (Int, Int) = {
+  /** Standard cube rounding, result packed (q << 32 | r & mask) so the
+    * per-row hot paths allocate no tuple.
+    */
+  def cubeRoundPacked(q: Double, r: Double): Long = {
     val s = -q - r
     var rq = math.round(q).toInt
     var rr = math.round(r).toInt
@@ -138,7 +170,13 @@ object H3 {
     val dq = math.abs(rq - q); val dr = math.abs(rr - r); val ds = math.abs(rs - s)
     if (dq > dr && dq > ds) rq = -rr - rs
     else if (dr > ds) rr = -rq - rs
-    (rq, rr)
+    (rq.toLong << 32) | (rr.toLong & 0xffffffffL)
+  }
+
+  /** Standard cube rounding of fractional axial coordinates. */
+  def cubeRound(q: Double, r: Double): (Int, Int) = {
+    val p = cubeRoundPacked(q, r)
+    ((p >> 32).toInt, p.toInt)
   }
 
   private val Off = 1 << 26
@@ -176,23 +214,42 @@ object H3 {
   def parent(id: Long, parentRes: Int): Long = {
     val res = resOf(id); val f = faceOfId(id)
     require(parentRes <= res, "parentRes must be coarser")
-    val size = resSizes(res); val ang = resAngles(res)
+    val size = resSizes(res)
     val q = iOf(id).toDouble; val r = jOf(id).toDouble
-    // face-plane coordinates of the child center
-    val rx0 = size * math.sqrt(3.0) * (q + r / 2.0)
+    // face-plane coordinates of the child center (trig from the per-res
+    // tables — this runs 5x per row in the north-rule indexing width)
+    val rx0 = size * Sqrt3 * (q + r / 2.0)
     val ry0 = size * 1.5 * r
-    val ca0 = math.cos(ang); val sa0 = math.sin(ang)
+    val ca0 = resCos(res); val sa0 = resSin(res)
     val px = rx0 * ca0 - ry0 * sa0
     val py = rx0 * sa0 + ry0 * ca0
-    // into the parent-resolution grid
-    val psize = resSizes(parentRes); val pang = resAngles(parentRes)
-    val ca = math.cos(-pang); val sa = math.sin(-pang)
+    // into the parent-resolution grid (rotate by -pang)
+    val psize = resSizes(parentRes)
+    val ca = resCos(parentRes); val sa = -resSin(parentRes)
     val rx = px * ca - py * sa
     val ry = px * sa + py * ca
-    val pq = (math.sqrt(3.0) / 3.0 * rx - ry / 3.0) / psize
+    val pq = (Sqrt3Third * rx - ry / 3.0) / psize
     val pr = (2.0 / 3.0 * ry) / psize
-    val (qi, ri) = cubeRound(pq, pr)
-    pack(parentRes, f, qi, ri)
+    val qr = cubeRoundPacked(pq, pr)
+    pack(parentRes, f, (qr >> 32).toInt, qr.toInt)
+  }
+
+  /** Finest-res cell id plus the full parent chain down to `resFrom`,
+    * written finest-first into `out` (length >= resTo-resFrom+1). The
+    * chain is stepwise (res r's id derives from res r+1's), matching
+    * [[SphericalCellsMulti]]'s historical semantics. Static helper so
+    * generated code calls one method per row.
+    */
+  def cellIdChainInto(latDeg: Double, lngDeg: Double, resFrom: Int,
+      resTo: Int, out: Array[Long]): Unit = {
+    var id = cellId(latDeg, lngDeg, resTo)
+    out(0) = id
+    var r = resTo - 1
+    while (r >= resFrom) {
+      id = parent(id, r)
+      out(resTo - r) = id
+      r -= 1
+    }
   }
 
   /** Approximate hex edge length in metres at a resolution (gnomonic

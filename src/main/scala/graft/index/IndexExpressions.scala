@@ -93,6 +93,35 @@ object IndexExpressions {
     */
   def s2_cell_lonlat(lat: Column, lng: Column, level: Int): Column =
     toCol(S2CellLatLng(expr(lat), expr(lng), level))
+
+  /** Parent cell id at a coarser resolution — pure integer/double math
+    * on the packed id, no datum transform. Chaining these over flat LONG
+    * columns is the allocation-free way to index one record at every
+    * res in a range: the finest id comes from one fused transform, each
+    * coarser id is one table-trig rotation from the previous, and
+    * whole-stage codegen's subexpression elimination computes each step
+    * once even though the column expressions nest.
+    */
+  def h3_parent(cell: Column, parentRes: Int): Column =
+    toCol(H3Parent(expr(cell), parentRes))
+}
+
+/** Packed H3-style cell id -> parent id at `parentRes` (codegen'd; sits
+  * in the full-width indexing kernel's per-row path).
+  */
+case class H3Parent(child: Expression, parentRes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    H3.parent(v.asInstanceOf[Long], parentRes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.index.H3.parent($v, $parentRes)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** (latDeg, lngDeg) -> S2 cell id at `level` (no datum transform — input
@@ -114,7 +143,7 @@ case class S2CellLatLng(left: Expression, right: Expression, level: Int)
   */
 case class SphericalCellsMulti(left: Expression, right: Expression,
     resFrom: Int, resTo: Int, s2Level: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(resFrom <= resTo, "resFrom must be <= resTo")
   override def dataType: DataType = StructType(Seq(
     StructField("h3s", ArrayType(LongType, containsNull = false), nullable = false),
@@ -123,19 +152,40 @@ case class SphericalCellsMulti(left: Expression, right: Expression,
   override protected def nullSafeEval(x: Any, y: Any): Any = {
     val ll = Transform.tlLatLng()
     Transform.bngToWgs84DegInto(x.asInstanceOf[Double], y.asInstanceOf[Double], ll)
-    val n = resTo - resFrom + 1
-    val ids = new Array[Long](n)
-    var id = H3.cellId(ll(0), ll(1), resTo)
-    ids(0) = id
-    var r = resTo - 1
-    while (r >= resFrom) {
-      id = H3.parent(id, r)
-      ids(resTo - r) = id
-      r -= 1
-    }
+    val ids = new Array[Long](resTo - resFrom + 1)
+    H3.cellIdChainInto(ll(0), ll(1), resFrom, resTo, ids)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](new GenericArrayData(ids), S2.cellId(ll(0), ll(1), s2Level)))
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(ids),
+        S2.cellId(ll(0), ll(1), s2Level)))
   }
+
+  /** Real codegen (this was the scaling-gate kernel's hot loop as a
+    * CodegenFallback: per-row boxing of both child doubles + interpreted
+    * dispatch): unboxed doubles into static helpers, the id array built
+    * by one call, wrapped as UnsafeArrayData without element boxing.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ll = ctx.freshName("ll")
+      val ids = ctx.freshName("ids")
+      val vals = ctx.freshName("vals")
+      val n = resTo - resFrom + 1
+      s"""
+         |double[] $ll = graft.index.Transform.tlLatLng();
+         |graft.index.Transform.bngToWgs84DegInto($x, $y, $ll);
+         |long[] $ids = new long[$n];
+         |graft.index.H3.cellIdChainInto($ll[0], $ll[1], $resFrom, $resTo, $ids);
+         |Object[] $vals = new Object[2];
+         |$vals[0] = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($ids);
+         |$vals[1] = Long.valueOf(graft.index.S2.cellId($ll[0], $ll[1], $s2Level));
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($vals);
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -192,25 +242,32 @@ case class SphericalCellId(left: Expression, right: Expression, res: Int,
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(x: Any, y: Any): Any = {
-    val (lat, lng) = Transform.bngToWgs84Deg(
+    val m = Transform.bngToWgs84Memo(
       x.asInstanceOf[Double], y.asInstanceOf[Double])
     system match {
-      case "h3" => H3.cellId(lat, lng, res)
-      case "s2" => S2.cellId(lat, lng, res)
+      case "h3" => H3.cellId(m(2), m(3), res)
+      case "s2" => S2.cellId(m(2), m(3), res)
     }
   }
 
+  /** Memoized transform (thread-local single-entry): several cell
+    * encoders over the same (x, y) row in one projection — h3 + s2, or
+    * multiple resolutions — pay for ONE inverse-TM + Helmert chain
+    * between them, with zero per-row allocation (the struct-returning
+    * [[SphericalCells]] shares the transform too, but materializes a
+    * row + boxed longs per call — ~100 B of garbage per input row, real
+    * GC pressure when every hardware thread is saturated).
+    */
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val target = if (system == "h3") "graft.index.H3" else "graft.index.S2"
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val ll = ctx.freshName("ll")
+      val m = ctx.freshName("memo")
       s"""
-         |double[] $ll = graft.index.Transform.tlLatLng();
-         |graft.index.Transform.bngToWgs84DegInto($x, $y, $ll);
-         |${ev.value} = $target.cellId($ll[0], $ll[1], $res);
+         |double[] $m = graft.index.Transform.bngToWgs84Memo($x, $y);
+         |${ev.value} = $target.cellId($m[2], $m[3], $res);
        """.stripMargin
     })
   }

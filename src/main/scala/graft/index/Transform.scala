@@ -219,6 +219,32 @@ object Transform {
   private val tlBuf = ThreadLocal.withInitial[Array[Double]](() => new Array[Double](2))
   def tlLatLng(): Array[Double] = tlBuf.get()
 
+  // Thread-local single-entry memo for the datum transform: when several
+  // independent scalar expressions in ONE projection index the same row
+  // (h3 cell + s2 cell + parents), each calls this instead of redoing
+  // the inverse-TM + Helmert chain. Purity makes the memo trivially
+  // safe: a hit requires bit-equal (e, n), for which the transform
+  // would return exactly the cached values anyway. Layout: e, n, lat,
+  // lng. NaN inputs always miss (NaN != NaN) — still correct, just
+  // uncached.
+  private val tlMemo = ThreadLocal.withInitial[Array[Double]](() => {
+    val a = new Array[Double](4); a(0) = Double.NaN; a(1) = Double.NaN; a
+  })
+
+  /** Memoized [[bngToWgs84DegInto]]: returns the thread-local (e, n,
+    * lat, lng) buffer, recomputing only when (e, n) differ from the
+    * previous call on this thread. Callers must read, not retain.
+    */
+  def bngToWgs84Memo(e: Double, n: Double): Array[Double] = {
+    val m = tlMemo.get()
+    if (m(0) != e || m(1) != n) {
+      val ll = tlBuf.get()
+      bngToWgs84DegInto(e, n, ll)
+      m(0) = e; m(1) = n; m(2) = ll(0); m(3) = ll(1)
+    }
+    m
+  }
+
   /** WGS84 (degrees) -> BNG (metres): quasi-Newton inverse of
     * [[bngToWgs84Deg]] with a numeric Jacobian — the forward map is
     * near-affine over the canvas, so 3-4 iterations reach sub-millimetre.

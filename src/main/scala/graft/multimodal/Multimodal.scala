@@ -6,12 +6,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column support: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with typed metadata structs.
   *
-  * The decode kernels are STUBS by design — no image/audio codecs ship in
-  * this container — but the Spark-side plumbing is real and tested:
-  * schema, per-partition batched decoding (one decoder instance per
-  * partition, the same shape a JNI/FFmpeg binding needs), deterministic
-  * fake decode so tests can assert exact values, and feature columns that
-  * downstream ops (dedup, ANN) consume.
+  * Round 4: the IMAGE path decodes for real — [[Bmp]] is a from-scratch
+  * 24-bit BMP codec, and [[decodeBmpMeta]] runs it through the batched
+  * per-partition plumbing with a position-weighted pixel checksum that
+  * an external oracle recomputes from the generation formula (driver
+  * query q60). The remaining audio/video kernels stay honest stubs — no
+  * such codecs ship in this container — but share the same tested
+  * plumbing: schema, per-partition batched decoding (one decoder
+  * instance per partition, the shape a JNI/FFmpeg binding needs), and
+  * feature columns that downstream ops (dedup, ANN) consume.
   */
 object Multimodal {
 
@@ -54,6 +57,34 @@ object Multimodal {
       .mapPartitions { it =>
         // [decoder init would go here — once per partition]
         it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** Typed decoded-image row (real decode path). */
+  case class ImageMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      n_px: Long,
+      px_checksum: Long)
+
+  /** REAL batched image decode over a (id, payload) binary column: each
+    * payload is parsed by the from-scratch [[Bmp]] codec (headers, row
+    * padding, bottom-up order, BGR) and summarized as a position-weighted
+    * pixel checksum. mapPartitions keeps the decoder-per-partition shape
+    * shared with [[decodeMeta]].
+    */
+  def decodeBmpMeta(df: DataFrame, idCol: String, binCol: String): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Bmp.decode(bytes)
+          ImageMeta(id, img.width, img.height,
+            img.width.toLong * img.height, Bmp.checksum(img))
+        }
       }
   }
 

@@ -111,6 +111,53 @@ object ProductQuant {
     codebooks
   }
 
+  /** Integer-quantized distributed Lloyd: same one-explode-one-agg
+    * iteration shape as [[trainCodebooksDistributed]], but sums
+    * accumulate as LONGs and the centroid update is a floor division —
+    * so with integer-valued input vectors every quantity in training is
+    * an integer. Two properties fall out: the distributed aggregation is
+    * ORDER-INDEPENDENT (integer addition is associative; float Lloyd
+    * means depend on partition reduce order), and an external SQL engine
+    * can replicate training bit-for-bit — which is what puts the PQ
+    * pipeline under an exact driver oracle (q54) instead of a rows-only
+    * floor. Centroids return as integer-valued doubles so encode/ADC
+    * reuse unchanged.
+    */
+  def trainCodebooksDistributedInt(corpus: DataFrame, id: String, vec: String,
+      m: Int, k: Int, iters: Int = 1): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var codebooks: Array[Array[Array[Double]]] = {
+      val init = corpus.orderBy(col(id)).limit(k).select(col(vec)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until m).toArray.map { mi =>
+        (0 until k).toArray.map(i =>
+          java.util.Arrays.copyOfRange(init(i % init.length), mi * dsub, (mi + 1) * dsub))
+      }
+    }
+    (0 until iters).foreach { _ =>
+      val rows = corpus.select(
+          posexplode(Bridge.column(PqAssignExpr(
+            Bridge.expression(col(vec)), codebooks))).as(Seq("__m__", "__sub__")))
+        .select(col("__m__"), col("__sub__.code").as("__code__"),
+          col("__sub__.sub").as("__subv__"))
+        .groupBy(col("__m__"), col("__code__"))
+        .agg(count(lit(1)).as("__n__"),
+          array((0 until dsub).map(d =>
+            sum(element_at(col("__subv__"), d + 1).cast("long"))): _*).as("__s__"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val mi = r.getInt(0); val c = r.getInt(1); val n = r.getLong(2)
+        if (n > 0)
+          next(mi)(c) = r.getSeq[Long](3).map(s => Math.floorDiv(s, n).toDouble).toArray
+      }
+      codebooks = next
+    }
+    codebooks
+  }
+
   private[graft] def nearestSub(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0

@@ -1441,17 +1441,109 @@ object GraftQueries {
     * tables. Float internals are not SQL-expressible (same no_oracle
     * class as q24/q25).
     */
+  /** PQ-ANN under an EXACT driver oracle (round-4): integer-valued
+    * vectors (id arithmetic both engines compute), the integer-Lloyd
+    * distributed trainer ([[graft.ops.ProductQuant
+    * .trainCodebooksDistributedInt]] — integer sums are associative, so
+    * distributed training is order-independent and SQL-replicable),
+    * byte-code encode, integer ADC shortlist, exact integer re-rank.
+    * The float production path stays ([[graft.ops.ProductQuant
+    * .trainCodebooksDistributed]]), pinned by SimilaritySpec's ADC
+    * identity + recall gates.
+    */
   def q54PqAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val corpus = emb.filter(col("vec_id") >= 10)
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cb = graft.ops.ProductQuant.trainCodebooksDistributed(
-      corpus, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val dim = 64
+    val vecs = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("vec", transform(sequence(lit(0), lit(dim - 1)),
+        d => (pmod(col("vec_id") * lit(2654435761L) + d.cast("long") * lit(40503L),
+          lit(1009L)) - lit(504L)).cast("float")))
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val cb = graft.ops.ProductQuant.trainCodebooksDistributedInt(
+      corpus, "vec_id", "vec", m = 8, k = 16, iters = 1)
     graft.ops.ProductQuant.adcTopKReranked(queries, "qid", "qvec",
-        corpus, "vec_id", "embedding", cb, k = 10, shortlist = 50)
-      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+        corpus, "vec_id", "vec", cb, k = 10, shortlist = 50)
+      .select(col("qid"), col("vec_id"),
+        col("dist2").cast("long").as("dist2"), col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
   }
+
+  val q54Sql: String =
+    """WITH dims AS (SELECT UNNEST(range(0, 8)) AS m),
+      |vecs AS (
+      |  SELECT vec_id,
+      |         [ CAST((vec_id * 2654435761 + d * 40503) % 1009 - 504 AS BIGINT)
+      |           for d in range(0, 64) ] AS vec
+      |  FROM embeddings),
+      |corpus AS (SELECT * FROM vecs WHERE vec_id >= 10),
+      |q AS (SELECT vec_id AS qid, vec AS qvec FROM vecs WHERE vec_id < 5),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, vec
+      |  FROM corpus ORDER BY vec_id LIMIT 16),
+      |cents0 AS (
+      |  SELECT m.m, i.code, list_slice(i.vec, m.m * 8 + 1, m.m * 8 + 8) AS c
+      |  FROM init i CROSS JOIN dims m),
+      |subs AS (
+      |  SELECT s.vec_id, m.m, list_slice(s.vec, m.m * 8 + 1, m.m * 8 + 8) AS sub
+      |  FROM corpus s CROSS JOIN dims m),
+      |assign0 AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY list_sum([ (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])
+      |                                 for i in range(1, 9) ]), c.code) AS rn
+      |    FROM subs s JOIN cents0 c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |sub_elems AS (
+      |  SELECT a.m, a.code, UNNEST(s.sub) AS x, UNNEST(range(1, 9)) AS i
+      |  FROM assign0 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m),
+      |csum AS (
+      |  SELECT m, code, i, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM sub_elems GROUP BY m, code, i),
+      |cents1new AS (
+      |  SELECT m, code,
+      |         list(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+      |  FROM csum GROUP BY m, code),
+      |cents1 AS (
+      |  SELECT c0.m, c0.code, COALESCE(cn.c, c0.c) AS c
+      |  FROM cents0 c0 LEFT JOIN cents1new cn
+      |    ON c0.m = cn.m AND c0.code = cn.code),
+      |enc AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY list_sum([ (s.sub[i] - c.c[i]) * (s.sub[i] - c.c[i])
+      |                                 for i in range(1, 9) ]), c.code) AS rn
+      |    FROM subs s JOIN cents1 c ON s.m = c.m)
+      |  WHERE rn = 1),
+      |qsubs AS (
+      |  SELECT q.qid, m.m, list_slice(q.qvec, m.m * 8 + 1, m.m * 8 + 8) AS sub
+      |  FROM q CROSS JOIN dims m),
+      |lut AS (
+      |  SELECT qs.qid, c.m, c.code,
+      |         CAST(list_sum([ (qs.sub[i] - c.c[i]) * (qs.sub[i] - c.c[i])
+      |                         for i in range(1, 9) ]) AS BIGINT) AS d2
+      |  FROM qsubs qs JOIN cents1 c ON qs.m = c.m),
+      |adc AS (
+      |  SELECT l.qid, e.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_dist
+      |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      |  GROUP BY l.qid, e.vec_id),
+      |short AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |           row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 50),
+      |rer AS (
+      |  SELECT s.qid, s.vec_id,
+      |         CAST(list_sum([ (q.qvec[i] - c.vec[i]) * (q.qvec[i] - c.vec[i])
+      |                         for i in range(1, 65) ]) AS BIGINT) AS dist2
+      |  FROM short s JOIN q ON q.qid = s.qid JOIN corpus c ON c.vec_id = s.vec_id)
+      |SELECT qid, vec_id, dist2, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT qid, vec_id, dist2,
+      |         row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS rank
+      |  FROM rer) WHERE rank <= 10""".stripMargin
 
   /** Distributed connected components ([[graft.ops.ConnectedComponents]]):
     * the pairs->clusters step of production dedup, driver-oracle-checked
@@ -1638,4 +1730,78 @@ object GraftQueries {
       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
       |  FROM scored)
       |WHERE rank <= 3""".stripMargin
+
+  /** REAL image decode through the multimodal plumbing (round 4): each
+    * document id becomes a deterministic 24-bit BMP (bottom-up rows,
+    * 4-byte padding — [[graft.multimodal.Bmp.synth]]), the from-scratch
+    * decoder parses it back, and the position-weighted pixel checksum is
+    * oracle-checked against the generation formula computed relationally
+    * — a decoder bug in padding, row order, or BGR/RGB order breaks the
+    * match. Widths 8..16 exercise all three padding widths.
+    */
+  def q60BmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      graft.multimodal.Bmp.synth(id, (8 + id % 9).toInt, (6 + id % 7).toInt)
+    }
+    val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", synth(col("doc_id")))
+    graft.multimodal.Multimodal.decodeBmpMeta(imgs, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_px"),
+        col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(w * h AS BIGINT) AS n_px,
+      |       CAST(list_sum([ ((doc_id + 3*p) % 256
+      |                        + 2 * ((doc_id + 3*p + 1) % 256)
+      |                        + 3 * ((doc_id + 3*p + 2) % 256)) * (p + 1)
+      |                       for p in range(0, w * h) ]) AS BIGINT) AS px_checksum
+      |FROM d""".stripMargin
+
+  /** Lineage DAG through the driver surface (round 4; reference
+    * `graph.py:124-257` semantics): a 3-op LayerWrapper pipeline
+    * (select -> filter -> limit) over the documents table, emitting the
+    * DAG's node/edge/shape counts, the last-node id, and an md5 digest
+    * of the deterministic DOT rendering. Labels are path-independent so
+    * the digest is a constant the oracle can pin.
+    */
+  def q61Lineage(spark: SparkSession, dir: String): DataFrame = {
+    val layer = graft.core.LayerWrapper("docs", t(spark, dir, "documents"),
+        lineage = graft.core.LineageDag().withInput("read documents.parquet"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter("lang = 'en'")
+      .limit(100)
+    val dag = layer.lineage
+    val dot = dag.toDot
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dot.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import spark.implicits._
+    Seq((
+      dag.nodes.size.toLong, dag.edges.size.toLong,
+      dag.nodes.count(_.shape == "oval").toLong,
+      dag.nodes.count(_.shape == "box").toLong,
+      dag.nodes.count(_.shape == "parallelogram").toLong,
+      dag.lastNode.orNull: String,
+      dot.linesIterator.size.toLong,
+      digest,
+      layer.data.count()
+    )).toDF("n_nodes", "n_edges", "n_oval", "n_box", "n_parallelogram",
+      "last_node", "dot_lines", "dot_md5", "n_rows")
+  }
+
+  val q61Sql: String =
+    """SELECT CAST(7 AS BIGINT) AS n_nodes, CAST(6 AS BIGINT) AS n_edges,
+      |CAST(1 AS BIGINT) AS n_oval, CAST(3 AS BIGINT) AS n_box,
+      |CAST(3 AS BIGINT) AS n_parallelogram, 'n6' AS last_node,
+      |CAST(15 AS BIGINT) AS dot_lines,
+      |'079ce84dad9029a21abd242688b0644e' AS dot_md5,
+      |(SELECT CAST(LEAST(count(*), 100) AS BIGINT)
+      |   FROM documents WHERE lang = 'en') AS n_rows""".stripMargin
 }

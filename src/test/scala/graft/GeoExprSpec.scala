@@ -52,4 +52,48 @@ class GeoExprSpec extends SparkSpec {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("codegen compile gates: keyed PIP predicate, h3_parent, multi-res struct") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
+    // Generated-code compile failures silently fall back to the
+    // interpreter (and for StPredicatePointKeyed that would reintroduce
+    // the per-candidate-row boxing + WKB copy the codegen exists to
+    // remove) — GenerateUnsafeProjection.generate throws instead.
+    val wkb = graft.geo.Wkb.write(graft.geo.Wkb.box(0, 0, 100, 100))
+    val key = graft.geo.StPredicatePoint.hashBytes(wkb)
+    val pred = graft.geo.StPredicatePointKeyed(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, BinaryType, nullable = false),
+      BoundReference(2, DoubleType, nullable = false),
+      BoundReference(3, DoubleType, nullable = false), "covers")
+    val proj = GenerateUnsafeProjection.generate(Seq(pred), false)
+    val in = InternalRow(key, wkb, 50.0, 50.0)
+    assert(proj(in).getBoolean(0))
+    val outP = InternalRow(key, wkb, 500.0, 50.0)
+    assert(!proj(outP).getBoolean(0))
+    // boundary is covers-inclusive
+    assert(proj(InternalRow(key, wkb, 0.0, 0.0)).getBoolean(0))
+
+    val par = graft.index.H3Parent(BoundReference(0, LongType, nullable = false), 7)
+    val pp = GenerateUnsafeProjection.generate(Seq(par), false)
+    val id8 = graft.index.H3.cellId(51.5, -0.1, 8)
+    assert(pp(InternalRow(id8)).getLong(0) == graft.index.H3.parent(id8, 7))
+
+    val multi = graft.index.SphericalCellsMulti(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, DoubleType, nullable = false), 7, 12, 12)
+    val mp = GenerateUnsafeProjection.generate(Seq(multi), false)
+    val row = mp(InternalRow(530000.0, 180000.0))
+    val st = row.getStruct(0, 2)
+    val ids = st.getArray(0).toLongArray()
+    assert(ids.length == 6)
+    // finest-first chain equals the scalar encoders + parent walk
+    val m = graft.index.Transform.bngToWgs84Memo(530000.0, 180000.0)
+    assert(ids(0) == graft.index.H3.cellId(m(2), m(3), 12))
+    assert(ids(5) == graft.index.H3.parent(ids(4), 7))
+    assert(st.getLong(1) == graft.index.S2.cellId(m(2), m(3), 12))
+  }
 }
