@@ -374,6 +374,54 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Kernel phases and catalogue queries pin eager localCheckpoints;
+    // the blocks are dead weight once a phase's measurement is done
+    // (every phase/query is self-contained) and the accumulated
+    // block-manager pressure was measured to triple the stateful-
+    // streaming queries' times. Safe to free between phases:
+    // localCheckpointed data is only unsafe to drop while a
+    // still-referenced DataFrame needs it, and no measured DataFrame
+    // outlives its measurement.
+    def freeCheckpoints(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // Terminated streaming queries leave their state-store providers
+      // loaded (unloaded only by the 60 s maintenance tick); measured to
+      // slow the NEXT streaming query ~3x once a few runs accumulate.
+      // StateStore.stop() unloads them all and re-initializes lazily —
+      // the same reset Spark's own streaming test harness performs.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      // Broadcast/accumulator cleanup is reference-queue driven: ~100
+      // executed queries of debris wait on a driver GC before the
+      // ContextCleaner releases their executor-side blocks. Nudge it so
+      // long catalogue runs don't age the JVM into streaming slowdowns.
+      System.gc()
+    }
+
+    // CATALOGUE FIRST, in a young JVM, stateful-streaming queries at
+    // the very front (round-4 reorder): streaming micro-batch planning
+    // is driver-heavy and was measured 3-4x slower after the kernel
+    // phases aged the JVM, even with freeCheckpoints() between phases
+    // (the fresh-JVM solo children below are the cross-check). Batch
+    // queries are robust to ordering; the kernels below carry their own
+    // warm-ups. Timings are best-of-2 — a single-shot number is noise-
+    // prone (JIT, page cache, GC) and a one-off 15x outlier in the
+    // recorded JSON sends later rounds chasing phantom regressions.
+    val streamingFirst = Set("q29_stream_hourly", "q41_stream_dedup", "q58_stream_clean")
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (streamingFirst(name)) 0 else 1, name)
+    }
+    val results = ordered.map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      freeCheckpoints() // queries are self-contained; keep the JVM lean
+      name -> times.min
+    }.sortBy(_._1)
+
+
     // headline metric: three full warm-up runs (C2 reaches steady state
     // after several passes over the generated code), best of three timed
     // (methodology matches ScalingBench / BENCH.md)
@@ -413,42 +461,6 @@ object Bench {
     val webCleanPerSec = (1 to 2).map(_ =>
       webCleanThroughput(spark, cpusForSizing.toLong * 6000L)).max
 
-    // The kernel phases above pin many eager localCheckpoints; their
-    // blocks are dead weight for the catalogue phase (each query is
-    // self-contained) and the accumulated block-manager pressure was
-    // measured to triple the stateful-streaming queries' times. Safe to
-    // free here: localCheckpointed data is only unsafe to drop while a
-    // still-referenced DataFrame needs it, and no kernel DataFrame
-    // outlives its measurement.
-    def freeCheckpoints(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      // Terminated streaming queries leave their state-store providers
-      // loaded (unloaded only by the 60 s maintenance tick); measured to
-      // slow the NEXT streaming query ~3x once a few runs accumulate.
-      // StateStore.stop() unloads them all and re-initializes lazily —
-      // the same reset Spark's own streaming test harness performs.
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      // Broadcast/accumulator cleanup is reference-queue driven: ~100
-      // executed queries of debris wait on a driver GC before the
-      // ContextCleaner releases their executor-side blocks. Nudge it so
-      // long catalogue runs don't age the JVM into streaming slowdowns.
-      System.gc()
-    }
-    freeCheckpoints()
-
-    // per-query catalogue timings: best-of-2 — a single-shot number is
-    // noise-prone (JIT, page cache, GC) and a one-off 15x outlier in the
-    // recorded JSON sends later rounds chasing phantom regressions.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      freeCheckpoints() // queries are self-contained; keep the JVM lean
-      name -> times.min
-    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
 

@@ -81,7 +81,8 @@ object SparkEntry {
     "q58_stream_clean" -> (GraftQueries.q58StreamClean _),
     "q59_contamination" -> (GraftQueries.q59Contamination _),
     "q60_bmp_decode" -> (GraftQueries.q60BmpDecode _),
-    "q61_lineage" -> (GraftQueries.q61Lineage _)
+    "q61_lineage" -> (GraftQueries.q61Lineage _),
+    "q62_wav_decode" -> (GraftQueries.q62WavDecode _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -142,7 +143,8 @@ object SparkEntry {
     "q58_stream_clean" -> GraftQueries.q58Sql,
     "q59_contamination" -> GraftQueries.q59Sql,
     "q60_bmp_decode" -> GraftQueries.q60Sql,
-    "q61_lineage" -> GraftQueries.q61Sql
+    "q61_lineage" -> GraftQueries.q61Sql,
+    "q62_wav_decode" -> GraftQueries.q62Sql
     // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
     // internals are not SQL-expressible — driver records rows-only;
     // exactness is pinned in ScalaTest against brute-force oracles

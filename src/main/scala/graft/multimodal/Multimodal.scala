@@ -88,6 +88,33 @@ object Multimodal {
       }
   }
 
+  /** Typed decoded-audio row (real decode path). */
+  case class AudioMeta(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      pcm_checksum: Long)
+
+  /** REAL batched audio decode over a (id, payload) binary column: each
+    * payload parses through the from-scratch [[Wav]] RIFF/PCM16 codec
+    * (chunk walk, unknown-chunk skip, interleave) and summarizes as a
+    * position-weighted sample checksum.
+    */
+  def decodeWavMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val clip = Wav.decode(bytes)
+          AudioMeta(id, clip.sampleRate, clip.channels,
+            clip.samples.length.toLong, Wav.checksum(clip))
+        }
+      }
+  }
+
   /** Deterministic fake frame-sample: byte-slices of the payload standing
     * in for decoded frames (`every`-th 16-byte window), exploded one row
     * per frame — the partitioning/UDTF shape of real video frame

@@ -1765,6 +1765,41 @@ object GraftQueries {
       |                       for p in range(0, w * h) ]) AS BIGINT) AS px_checksum
       |FROM d""".stripMargin
 
+  /** REAL audio decode through the multimodal plumbing (round 4,
+    * companion to [[q60BmpDecode]]): each document id becomes a
+    * deterministic PCM16 WAV with a planted LIST chunk before the data
+    * chunk ([[graft.multimodal.Wav.synth]] — a decoder that does not
+    * walk RIFF chunks reads garbage and fails loudly), decoded by the
+    * from-scratch codec, position-weighted sample checksum
+    * oracle-checked against the generation formula.
+    */
+  def q62WavDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      graft.multimodal.Wav.synth(id, (100 + id % 50).toInt, (1 + id % 2).toInt)
+    }
+    val clips = t(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", synth(col("doc_id")))
+    graft.multimodal.Multimodal.decodeWavMeta(clips, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("pcm_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q62Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         (100 + doc_id % 50) * (1 + doc_id % 2) AS n
+      |  FROM documents)
+      |SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(list_sum([ ((doc_id + i * 2654435761) % 65536 - 32768) * (i + 1)
+      |                       for i in range(0, n) ]) AS BIGINT) AS pcm_checksum
+      |FROM d""".stripMargin
+
   /** Lineage DAG through the driver surface (round 4; reference
     * `graph.py:124-257` semantics): a 3-op LayerWrapper pipeline
     * (select -> filter -> limit) over the documents table, emitting the
