@@ -24,10 +24,29 @@ object BenchSolo {
         Bench.dedupThroughput(spark, 20000L) // warm
         val dps = (1 to 2).map(_ => Bench.dedupThroughput(spark, n)).max
         println(s"SOLO kernel:dedup ${dps}")
+      case t if t.startsWith("kernel:multires:sync:") =>
+        // Synchronized-window variant for the loaded-box (SPECrate-style)
+        // pair: warm up, busy-wait until the shared start timestamp, then
+        // loop the kernel until the shared deadline — so every concurrent
+        // child measures under FULL cross-instance contention (without
+        // the barrier, JVM-spinup stagger lets some timed runs execute on
+        // a partly idle box and overstate the N level).
+        val parts = t.split(':')
+        val n = parts(3).toLong
+        val startMs = parts(4).toLong
+        val endMs = parts(5).toLong
+        Bench.spatialPipelineThroughputMultiRes(spark, n) // warm
+        while (System.currentTimeMillis() < startMs) Thread.sleep(50)
+        val t0 = System.nanoTime()
+        var rows = 0L
+        while (System.currentTimeMillis() < endMs) {
+          Bench.spatialPipelineThroughputMultiRes(spark, n)
+          rows += n
+        }
+        val rps = rows / ((System.nanoTime() - t0) / 1e9)
+        println(s"SOLO $t ${rps}")
       case t if t.startsWith("kernel:multires:") =>
-        // full-width indexing kernel at an explicit row count — used by
-        // ScalingBench's loaded-box (SPECrate-style) pair, where several
-        // of these children run concurrently
+        // full-width indexing kernel at an explicit row count, solo
         val n = t.substring("kernel:multires:".length).toLong
         (1 to 2).foreach(_ => Bench.spatialPipelineThroughputMultiRes(spark, n))
         val rps = (1 to 3).map(_ => Bench.spatialPipelineThroughputMultiRes(spark, n)).max

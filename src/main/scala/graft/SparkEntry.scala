@@ -108,6 +108,7 @@ object SparkEntry {
     "q17_ann_topk" -> GraftQueries.q17Sql,
     "q18_semi_anti_join" -> GraftQueries.q18Sql,
     "q19_set_ops" -> GraftQueries.q19Sql,
+    "q25_ivf_ann" -> GraftQueries.q25Sql,
     "q27_tokens" -> GraftQueries.q27Sql,
     "q28_multimodal_decode" -> GraftQueries.q28Sql,
     "q29_stream_hourly" -> GraftQueries.q29Sql,
@@ -145,12 +146,13 @@ object SparkEntry {
     "q60_bmp_decode" -> GraftQueries.q60Sql,
     "q61_lineage" -> GraftQueries.q61Sql,
     "q62_wav_decode" -> GraftQueries.q62Sql
-    // q20/q23-q26, q30: minhash-signature / float-cosine / spherical-cell
-    // internals are not SQL-expressible — driver records rows-only;
-    // exactness is pinned in ScalaTest against brute-force oracles
-    // instead. q21/q22 ARE oracle-checked: the md5-simhash banding is
-    // pigeonhole-exact and the shingle-Jaccard verify is recomputed
-    // relationally with DuckDB list ops. q54 (PQ-ANN) became
-    // oracle-exact in round 4 via the integer-Lloyd trainer.
+    // q20/q23/q24/q26/q30: minhash-signature / float-cosine /
+    // spherical-cell internals are not SQL-expressible — driver records
+    // rows-only; exactness is pinned in ScalaTest against brute-force
+    // oracles instead. q21/q22 ARE oracle-checked: the md5-simhash
+    // banding is pigeonhole-exact and the shingle-Jaccard verify is
+    // recomputed relationally with DuckDB list ops. q54 (PQ-ANN) and
+    // q25 (IVF) became oracle-exact in round 4 via integer-Lloyd
+    // trainers (integer sums are order-independent).
   )
 }

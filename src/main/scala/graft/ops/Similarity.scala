@@ -123,6 +123,73 @@ object Similarity {
     centroids
   }
 
+  /** Integer-quantized distributed Lloyd (IVF coarse quantizer twin of
+    * [[ProductQuant.trainCodebooksDistributedInt]]): same one-aggregation
+    * iteration as [[trainCentroidsDistributed]], but sums accumulate as
+    * LONGs and the centroid update is a floor division. With
+    * integer-valued input vectors the whole trainer is integer, so the
+    * distributed aggregation is order-independent (integer addition is
+    * associative) and an external SQL engine replicates training
+    * bit-for-bit — what puts the IVF pipeline under an exact driver
+    * oracle (q25). Centroids return as integer-valued doubles so the
+    * assignment/probe expressions reuse unchanged.
+    */
+  def trainCentroidsDistributedInt(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int = 1): Array[Array[Double]] = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    var centroids: Array[Array[Double]] = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(vec)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val sums = corpus
+        .withColumn("__c__",
+          Bridge.column(NearestCentroidExpr(
+            Bridge.expression(col(vec)), centroids)))
+        .groupBy(col("__c__"))
+        .agg(count(lit(1)).as("__n__"),
+          array((0 until dim).map(d =>
+            sum(element_at(col(vec), d + 1).cast("long"))): _*).as("__s__"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0)
+          next(c) = r.getSeq[Long](2).map(s => Math.floorDiv(s, n).toDouble).toArray
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF top-k under SQUARED-L2 with the integer-Lloyd trainer: the
+    * oracle-exact twin of [[ivfTopK]] — over integer-valued vectors every
+    * quantity (training, assignment, probe order, ranking distance) is an
+    * integer, so the full pipeline admits an exact external oracle. The
+    * float-cosine path stays the production default. Returns (qid, id,
+    * dist2, rank<=k).
+    */
+  def ivfTopKL2(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val centroids = trainCentroidsDistributedInt(corpus, id, vec, nlist, iters)
+    val listed = corpus.withColumn("__list__",
+      Bridge.column(NearestCentroidExpr(Bridge.expression(col(vec)), centroids)))
+    val probed = queries.withColumn("__list__",
+      explode(Bridge.column(NearestCentroidsExpr(
+        Bridge.expression(col(qVec)), centroids, nprobe))))
+    val pairs = listed.join(broadcast(probed), Seq("__list__"))
+      .withColumn("dist2", aggregate(
+        zip_with(col(vec), col(qVec),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col(qId)).orderBy(col("dist2"), col(id))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(id), col("dist2"), col("rank"))
+  }
+
   /** IVF ANN top-k: assign corpus to centroid lists, probe the `nprobe`
     * nearest lists per query. Returns same shape as bruteForceTopK (may
     * miss true neighbours outside probed lists — recall measured in

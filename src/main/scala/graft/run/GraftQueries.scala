@@ -623,20 +623,92 @@ object GraftQueries {
       emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
   }
 
-  /** IVF-bucketed ANN (the 100TB scale path; recall vs q24 in specs).
-    * The driver contract exercises the DISTRIBUTED Lloyd trainer — the
-    * path that holds at 10^12 rows (per-iteration driver traffic is the
-    * nlist x dim centroid matrix only); the driver-sample shortcut stays
-    * spec-covered in SimilaritySpec.
+  /** IVF-bucketed ANN (the 100TB scale path) under an EXACT driver
+    * oracle (round 4): integer-valued vectors + the integer-Lloyd
+    * distributed trainer ([[graft.ops.Similarity
+    * .trainCentroidsDistributedInt]] — one aggregation per iteration,
+    * driver traffic = the nlist x dim centroid matrix; integer sums are
+    * associative, so training is order-independent and SQL-replicable),
+    * integer squared-L2 assignment/probe/ranking. The float-cosine IVF
+    * path with the float distributed trainer stays the production
+    * default, exercised by Bench.annThroughput + SimilaritySpec recall
+    * gates.
     */
   def q25IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val qs = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    graft.ops.Similarity.ivfTopK(qs, "qid", "qvec",
-      emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10,
-      nlist = 16, nprobe = 8, distributedTraining = true)
+    val dim = 64
+    val vecs = t(spark, dir, "embeddings").select(col("vec_id"))
+      .withColumn("vec", transform(sequence(lit(0), lit(dim - 1)),
+        d => (pmod(col("vec_id") * lit(2654435761L) + d.cast("long") * lit(40503L),
+          lit(1009L)) - lit(504L)).cast("float")))
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val qs = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    graft.ops.Similarity.ivfTopKL2(qs, "qid", "qvec",
+        corpus, "vec_id", "vec", k = 10, nlist = 16, nprobe = 8, iters = 1)
+      .select(col("qid"), col("vec_id"),
+        col("dist2").cast("long").as("dist2"), col("rank").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
   }
+
+  val q25Sql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id,
+      |         [ CAST((vec_id * 2654435761 + d * 40503) % 1009 - 504 AS BIGINT)
+      |           for d in range(0, 64) ] AS vec
+      |  FROM embeddings),
+      |corpus AS (SELECT * FROM vecs WHERE vec_id >= 10),
+      |q AS (SELECT vec_id AS qid, vec AS qvec FROM vecs WHERE vec_id < 10),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, vec AS c
+      |  FROM corpus ORDER BY vec_id LIMIT 16),
+      |a0 AS (
+      |  SELECT vec_id, code FROM (
+      |    SELECT s.vec_id, i.code,
+      |           row_number() OVER (PARTITION BY s.vec_id
+      |             ORDER BY list_sum([ (s.vec[d] - i.c[d]) * (s.vec[d] - i.c[d])
+      |                                 for d in range(1, 65) ]), i.code) AS rn
+      |    FROM corpus s CROSS JOIN init i)
+      |  WHERE rn = 1),
+      |elems AS (
+      |  SELECT a.code, UNNEST(s.vec) AS x, UNNEST(range(1, 65)) AS i
+      |  FROM a0 a JOIN corpus s USING (vec_id)),
+      |csum AS (
+      |  SELECT code, i, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM elems GROUP BY code, i),
+      |cnew AS (
+      |  SELECT code,
+      |         list(CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+      |  FROM csum GROUP BY code),
+      |cents AS (
+      |  SELECT i.code, COALESCE(cn.c, i.c) AS c
+      |  FROM init i LEFT JOIN cnew cn ON i.code = cn.code),
+      |assign AS (
+      |  SELECT vec_id, code FROM (
+      |    SELECT s.vec_id, ct.code,
+      |           row_number() OVER (PARTITION BY s.vec_id
+      |             ORDER BY list_sum([ (s.vec[d] - ct.c[d]) * (s.vec[d] - ct.c[d])
+      |                                 for d in range(1, 65) ]), ct.code) AS rn
+      |    FROM corpus s CROSS JOIN cents ct)
+      |  WHERE rn = 1),
+      |probe AS (
+      |  SELECT qid, code FROM (
+      |    SELECT q.qid, ct.code,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY list_sum([ (q.qvec[d] - ct.c[d]) * (q.qvec[d] - ct.c[d])
+      |                                 for d in range(1, 65) ]), ct.code) AS rn
+      |    FROM q CROSS JOIN cents ct)
+      |  WHERE rn <= 8),
+      |scored AS (
+      |  SELECT p.qid, a.vec_id,
+      |         CAST(list_sum([ (q.qvec[d] - s.vec[d]) * (q.qvec[d] - s.vec[d])
+      |                         for d in range(1, 65) ]) AS BIGINT) AS d2
+      |  FROM probe p JOIN assign a ON a.code = p.code
+      |  JOIN q ON q.qid = p.qid JOIN corpus s ON s.vec_id = a.vec_id)
+      |SELECT qid, vec_id, dist2, rank FROM (
+      |  SELECT qid, vec_id, d2 AS dist2,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS BIGINT) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
 
   /** Language id (n-gram heuristic; rows-only, accuracy pinned in specs). */
   def q26LangId(spark: SparkSession, dir: String): DataFrame =

@@ -67,13 +67,25 @@ object ScalingBench {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val target = s"kernel:multires:$n"
-      def one(cpus: Int): Double =
-        Bench.runSolo("/unused", cpus.toString, Seq(target)).getOrElse(target, 0.0)
-      val r32 = one(32) // alone — a fully-loaded box either way
-      val r8s = Await.result(
-        Future.sequence((1 to 4).map(_ => Future(one(8)))), 60.minutes)
-      (r8s.sum / r8s.size, r32)
+      // Synchronized measurement windows (children warm up, barrier on a
+      // shared start timestamp, loop to a shared deadline): without the
+      // barrier, JVM-spinup stagger let some co-run children time part
+      // of their work on a partly idle box and the 4-instance aggregate
+      // exceeded the box's own 32-thread ceiling — an impossible number
+      // that flagged the flaw.
+      def window(cpus: Int, instances: Int): Double = {
+        val startMs = System.currentTimeMillis() + 60000L
+        val endMs = startMs + 90000L
+        val target = s"kernel:multires:sync:$n:$startMs:$endMs"
+        val rs = Await.result(
+          Future.sequence((1 to instances).map(_ => Future(
+            Bench.runSolo("/unused", cpus.toString, Seq(target))
+              .getOrElse(target, 0.0)))), 60.minutes)
+        rs.sum / rs.size
+      }
+      val r32 = window(32, 1)
+      val r8 = window(8, 4)
+      (r8, r32)
     }
     val effLoaded = rate32 / (4.0 * rate8)
 
