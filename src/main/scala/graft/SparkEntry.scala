@@ -82,7 +82,8 @@ object SparkEntry {
     "q59_contamination" -> (GraftQueries.q59Contamination _),
     "q60_bmp_decode" -> (GraftQueries.q60BmpDecode _),
     "q61_lineage" -> (GraftQueries.q61Lineage _),
-    "q62_wav_decode" -> (GraftQueries.q62WavDecode _)
+    "q62_wav_decode" -> (GraftQueries.q62WavDecode _),
+    "q63_y4m_decode" -> (GraftQueries.q63Y4mDecode _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -145,7 +146,8 @@ object SparkEntry {
     "q59_contamination" -> GraftQueries.q59Sql,
     "q60_bmp_decode" -> GraftQueries.q60Sql,
     "q61_lineage" -> GraftQueries.q61Sql,
-    "q62_wav_decode" -> GraftQueries.q62Sql
+    "q62_wav_decode" -> GraftQueries.q62Sql,
+    "q63_y4m_decode" -> GraftQueries.q63Sql
     // q20/q23/q24/q26/q30: minhash-signature / float-cosine /
     // spherical-cell internals are not SQL-expressible — driver records
     // rows-only; exactness is pinned in ScalaTest against brute-force

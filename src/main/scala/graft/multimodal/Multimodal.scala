@@ -115,6 +115,32 @@ object Multimodal {
       }
   }
 
+  /** Typed decoded-video row (real decode path). */
+  case class VideoMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      yuv_checksum: Long)
+
+  /** REAL batched video decode over a (id, payload) binary column: each
+    * payload parses through the from-scratch [[Y4m]] codec (stream
+    * header, FRAME markers, planar 4:2:0 payload) and summarizes as a
+    * position-weighted plane-byte checksum.
+    */
+  def decodeY4mMeta(df: DataFrame, idCol: String, binCol: String): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = Y4m.decode(bytes)
+          VideoMeta(id, v.width, v.height, v.frames.length.toLong, Y4m.checksum(v))
+        }
+      }
+  }
+
   /** Deterministic fake frame-sample: byte-slices of the payload standing
     * in for decoded frames (`every`-th 16-byte window), exploded one row
     * per frame — the partitioning/UDTF shape of real video frame

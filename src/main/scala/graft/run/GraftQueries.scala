@@ -1872,6 +1872,48 @@ object GraftQueries {
       |                       for i in range(0, n) ]) AS BIGINT) AS pcm_checksum
       |FROM d""".stripMargin
 
+  /** REAL video decode through the multimodal plumbing (round 4,
+    * completing the image/audio/video triple): each document id becomes
+    * a deterministic Y4M clip (ASCII stream header, FRAME markers,
+    * planar 4:2:0 YUV — [[graft.multimodal.Y4m.synth]]), parsed by the
+    * from-scratch codec, position-weighted plane-byte checksum
+    * oracle-checked against the generation formula.
+    */
+  def q63Y4mDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      graft.multimodal.Y4m.synth(id,
+        (8 + 2 * (id % 5)).toInt, (6 + 2 * (id % 4)).toInt, (3 + id % 4).toInt)
+    }
+    val clips = t(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", synth(col("doc_id")))
+    graft.multimodal.Multimodal.decodeY4mMeta(clips, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames"), col("yuv_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q63Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         8 + 2 * (doc_id % 5) AS w,
+      |         6 + 2 * (doc_id % 4) AS h,
+      |         3 + doc_id % 4 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, nf,
+      |         CAST(w * h * 3 / 2 AS BIGINT) AS fb
+      |  FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(nf AS BIGINT) AS n_frames,
+      |       CAST(list_sum([
+      |         ((doc_id + CAST(FLOOR(p / fb) AS BIGINT) * 131 + p % fb) % 256)
+      |           * (p + 1)
+      |         for p in range(0, nf * fb) ]) AS BIGINT) AS yuv_checksum
+      |FROM f""".stripMargin
+
   /** Lineage DAG through the driver surface (round 4; reference
     * `graph.py:124-257` semantics): a 3-op LayerWrapper pipeline
     * (select -> filter -> limit) over the documents table, emitting the
