@@ -410,13 +410,24 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (if (streamingFirst(name)) 0 else 1, name)
     }
+    // Failures are NOT swallowed: a broken query must not record a
+    // plausible best-of-2 timing for a no-op. Correctness lives in the
+    // separate driver compare, but the bench flags every query whose
+    // every attempt threw so a timing row can never silently lie.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = ordered.map { case (name, fn) =>
+      var ok = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ok = true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name attempt failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
+      if (!ok) failed += name
       freeCheckpoints() // queries are self-contained; keep the JVM lean
       name -> times.min
     }.sortBy(_._1)
@@ -464,20 +475,37 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
 
-    // Fresh-JVM solo steady-state numbers: the three stateful-streaming
-    // queries (catalogue-JVM aging made q41 run 3-4x slower in-catalogue
-    // in round 3) and the dedup kernel (its round-3 catalogue figure
-    // collapsed 3.5x on unchanged code). Parent idles while the child
-    // runs, so the numbers see a quiet machine.
-    val solo = runSolo(sfDir, cpus, Seq(
-      "q29_stream_hourly", "q41_stream_dedup", "q58_stream_clean",
-      "kernel:dedup"))
+    // Fresh-JVM solo steady-state numbers — now for EVERY kernel phase
+    // plus the stateful-streaming trio (round-4 finding: the
+    // catalogue-first reorder moved JVM aging ONTO the kernel phases —
+    // rasterize read 2.5x and IVF 2.8x below round 3 on unchanged kernel
+    // code — so in-catalogue kernel figures alone are unattributable).
+    // The streaming trio shares one young child; every kernel gets its
+    // OWN child JVM (round-4's lone dedup solo ran in the SAME child
+    // AFTER the three stateful streaming queries — an aged JVM again,
+    // which with the single small warm-up produced the anomalous 8,694
+    // docs/s vs 81,596 in-catalogue). Parent idles while children run.
+    val soloStreaming = runSolo(sfDir, cpus, Seq(
+      "q29_stream_hourly", "q41_stream_dedup", "q58_stream_clean"))
+    val soloKernels = Seq("kernel:dedup", "kernel:rasterize", "kernel:ann",
+        "kernel:rhp", "kernel:linededup", "kernel:webclean")
+      .flatMap(t => runSolo(sfDir, cpus, Seq(t)).toSeq).toMap
+    val soloKey = Map(
+      "kernel:dedup" -> "dedup_docs_per_sec",
+      "kernel:rasterize" -> "rasterize_geoms_per_sec",
+      "kernel:ann:brute" -> "ann_brute_qps",
+      "kernel:ann:ivf" -> "ann_ivf_qps",
+      "kernel:rhp" -> "ann_rhp_rows_per_sec",
+      "kernel:linededup" -> "linededup_lines_per_sec",
+      "kernel:webclean" -> "webclean_rows_per_sec")
+    val solo = soloStreaming ++ soloKernels
     val soloJson = solo.toSeq.sortBy(_._1).map {
-      case ("kernel:dedup", v) => "\"dedup_docs_per_sec\":" + v.round
+      case (k, v) if soloKey.contains(k) => "\"" + soloKey(k) + "\":" + v.round
       case (k, v) => "\"" + k + f"\":$v%.3f"
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"linededup_lines_per_sec":${lineDedupPerSec.round},"webclean_rows_per_sec":${webCleanPerSec.round},"query_total_sec":${results.map(_._2).sum},"queries":$qs,"solo":$soloJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"linededup_lines_per_sec":${lineDedupPerSec.round},"webclean_rows_per_sec":${webCleanPerSec.round},"query_total_sec":${results.map(_._2).sum},"failed":$failedJson,"queries":$qs,"solo":$soloJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

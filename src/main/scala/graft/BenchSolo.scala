@@ -18,12 +18,42 @@ object BenchSolo {
     val targets = args.drop(2).toSeq
     val spark = Bench.session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // Steady-state protocol for a FRESH JVM: the catalogue parent's
+    // single small warm-up is enough there because its JVM has already
+    // C2-compiled Spark's shuffle/sort/parquet framework paths across
+    // dozens of queries — a cold child has none of that, and one 20k-doc
+    // pass left the round-4 solo dedup figure 9x under its in-catalogue
+    // twin (the JIT was still ramping when the timed runs started). Two
+    // FULL-SIZE warm-up runs then best-of-3 matches the headline kernel's
+    // protocol and was measured to close that gap.
+    def kernelBest(name: String, run: () => Double): Unit = {
+      run(); run() // full-size warm-ups (untimed)
+      val v = (1 to 3).map(_ => run()).max
+      println(s"SOLO $name ${v}")
+    }
     targets.foreach {
       case "kernel:dedup" =>
         val n = cpus.toLong * 6000L
-        Bench.dedupThroughput(spark, 20000L) // warm
-        val dps = (1 to 2).map(_ => Bench.dedupThroughput(spark, n)).max
-        println(s"SOLO kernel:dedup ${dps}")
+        kernelBest("kernel:dedup", () => Bench.dedupThroughput(spark, n))
+      case "kernel:rasterize" =>
+        val n = cpus.toLong * 10000L
+        kernelBest("kernel:rasterize", () => Bench.rasterizeThroughput(spark, n))
+      case "kernel:rhp" =>
+        val n = cpus.toLong * 30000L
+        kernelBest("kernel:rhp", () => Bench.rhpThroughput(spark, n))
+      case "kernel:linededup" =>
+        val n = cpus.toLong * 60000L
+        kernelBest("kernel:linededup", () => Bench.lineDedupThroughput(spark, n))
+      case "kernel:webclean" =>
+        val n = cpus.toLong * 6000L
+        kernelBest("kernel:webclean", () => Bench.webCleanThroughput(spark, n))
+      case "kernel:ann" =>
+        // one target, two figures (brute + IVF share corpus/training work)
+        val n = cpus.toLong * 16000L
+        Bench.annThroughput(spark, n); Bench.annThroughput(spark, n) // warm
+        val rs = (1 to 3).map(_ => Bench.annThroughput(spark, n))
+        println(s"SOLO kernel:ann:brute ${rs.map(_._1).max}")
+        println(s"SOLO kernel:ann:ivf ${rs.map(_._2).max}")
       case t if t.startsWith("kernel:multires:sync:") =>
         // Synchronized-window variant for the loaded-box (SPECrate-style)
         // pair: warm up, busy-wait until the shared start timestamp, then
@@ -43,8 +73,16 @@ object BenchSolo {
           Bench.spatialPipelineThroughputMultiRes(spark, n)
           rows += n
         }
-        val rps = rows / ((System.nanoTime() - t0) / 1e9)
-        println(s"SOLO $t ${rps}")
+        if (rows == 0L) {
+          // Missed the barrier or the deadline (spinup + warm-up overran
+          // the lead time): zero timed iterations means NO measurement,
+          // not a 0 rows/s one — emit a sentinel the parent must exclude
+          // so it can't silently drag a co-run average down.
+          println(s"SOLO-INVALID $t missed-window")
+        } else {
+          val rps = rows / ((System.nanoTime() - t0) / 1e9)
+          println(s"SOLO $t ${rps}")
+        }
       case t if t.startsWith("kernel:multires:") =>
         // full-width indexing kernel at an explicit row count, solo
         val n = t.substring("kernel:multires:".length).toLong

@@ -97,6 +97,15 @@ case class StPredicatePointKeyed(first: Expression, second: Expression,
     * key/x/y are unboxed and the WKB child's code is emitted INSIDE the
     * cache-miss branch, so the hit path (every row after the first per
     * polygon per thread) allocates nothing and never touches the bytes.
+    *
+    * INVARIANT (required for codegen/interpreted agreement): the key
+    * child MUST be `st_geom_key(geom)` over the SAME geometry child — a
+    * null geometry then implies a null key, so the hit path (which skips
+    * evaluating the geometry child entirely) can never observe a non-null
+    * key paired with a null geometry. [[graft.ops.SpatialJoin]] is the
+    * only constructor and derives the key that way. An independently
+    * supplied key with a null geometry would return false where
+    * interpreted nullSafeEval returns null; do not construct one.
     */
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

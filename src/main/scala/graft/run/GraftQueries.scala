@@ -1775,6 +1775,7 @@ object GraftQueries {
     graft.ops.Pack.packSequences(d, "doc_id", "n_tokens", budget = 512L)
       .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("pack_id"))
       .orderBy(col("doc_id")) // canonical output order for the driver's hasher
+      .coalesce(1)            // one output file so physical order == sort order
   }
 
   val q57Sql: String =
@@ -1786,7 +1787,7 @@ object GraftQueries {
       |  FROM tok)
       |SELECT doc_id, n_tokens, start_offset,
       |       CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
-      |FROM s""".stripMargin
+      |FROM s ORDER BY doc_id""".stripMargin
 
   val q53Sql: String =
     """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),

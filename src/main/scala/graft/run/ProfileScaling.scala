@@ -51,8 +51,9 @@ object ProfileScaling {
             approx_count_distinct(col("h3_7"), 0.15).as("h3_coarse"),
             approx_count_distinct(col("h3_12"), 0.15).as("h3_fine"),
             approx_count_distinct(col("s2_12"), 0.15).as("s2_cells"),
-            sum(col("h3_8").bitwiseXOR(col("h3_9")).bitwiseXOR(col("h3_10"))
-              .bitwiseXOR(col("h3_11"))).as("mid_res_guard"))
+            // bit_xor, not sum: h3 ids reach 2^62 and ANSI sum(long)
+            // overflows (same guard shape as the Bench kernel).
+            expr("bit_xor(h3_8 ^ h3_9 ^ h3_10 ^ h3_11)").as("mid_res_guard"))
           .write.format("noop").mode("overwrite").save()
     }
     n / ((System.nanoTime() - t0) / 1e9)

@@ -74,20 +74,56 @@ object ScalingBench {
       // exceeded the box's own 32-thread ceiling — an impossible number
       // that flagged the flaw.
       def window(cpus: Int, instances: Int): Double = {
-        val startMs = System.currentTimeMillis() + 60000L
+        // 90 s lead: JVM + session spinup (~20 s) plus one full-size
+        // warm-up run must all land BEFORE the shared start or the child
+        // executes zero timed iterations (it then emits SOLO-INVALID and
+        // is excluded below rather than averaging in as a silent 0).
+        val startMs = System.currentTimeMillis() + 90000L
         val endMs = startMs + 90000L
         val target = s"kernel:multires:sync:$n:$startMs:$endMs"
         val rs = Await.result(
           Future.sequence((1 to instances).map(_ => Future(
             Bench.runSolo("/unused", cpus.toString, Seq(target))
-              .getOrElse(target, 0.0)))), 60.minutes)
-        rs.sum / rs.size
+              .get(target)))), 60.minutes)
+        val valid = rs.flatten
+        if (valid.size < instances)
+          System.err.println(s"[scaling] ${instances - valid.size} of " +
+            s"$instances local[$cpus] children missed the synchronized " +
+            "window (SOLO-INVALID) — excluded from the co-run average; " +
+            "the box was not fully loaded, treat this pair as suspect")
+        if (valid.isEmpty) 0.0 else valid.sum / valid.size
       }
       val r32 = window(32, 1)
       val r8 = window(8, 4)
       (r8, r32)
     }
     val effLoaded = rate32 / (4.0 * rate8)
+
+    // Replication record: every synchronized-protocol invocation appends
+    // one line here, and BENCH.md renders the full history — the round-4
+    // loaded-box PASS had n=1 (only the third invocation used
+    // synchronized windows), and a single-sample gate is not a gate.
+    val jsonLine =
+      s"""{"ts_ms":${System.currentTimeMillis()},"rows":$n,"rps4":${rps4.round},"rps16":${rps16.round},"rps8":${rps8.round},"rps32":${rps32.round},"efficiency_4_16":${f"$eff416%.3f"},"efficiency_8_32":${f"$eff832%.3f"},"loaded_rate8":${rate8.round},"loaded_rate32":${rate32.round},"efficiency_loaded":${f"$effLoaded%.3f"}}"""
+    val histPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_HISTORY",
+        "/root/repo/SCALING_HISTORY.jsonl"))
+    java.nio.file.Files.writeString(histPath, jsonLine + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val histRows = {
+      val lines = java.nio.file.Files.readAllLines(histPath)
+      import scala.jdk.CollectionConverters._
+      lines.asScala.toSeq.flatMap { l =>
+        def f(k: String): Option[String] =
+          (s""""$k":([0-9.]+)""".r).findFirstMatchIn(l).map(_.group(1))
+        for {
+          e416 <- f("efficiency_4_16"); e832 <- f("efficiency_8_32")
+          el <- f("efficiency_loaded"); rows <- f("rows")
+        } yield s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | $el |" +
+          s" ${if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS" else "FAIL"} |"
+      }.mkString("\n")
+    }
 
     val md =
       s"""# BENCH — scaling evidence (north rule)
@@ -116,6 +152,18 @@ object ScalingBench {
          || local[4] -> local[16] | ${rps4.round} | ${rps16.round} | ${f"$eff416%.3f"} | ${if (eff416 >= 0.8) "PASS" else "FAIL"} |
          || local[8] -> local[32] | ${rps8.round} | ${rps32.round} | ${f"$eff832%.3f"} | ${if (eff832 >= 0.8) "PASS" else "FAIL"} |
          || loaded-box 4 x local[8] co-run -> local[32] | ${rate8.round} (per instance) | ${rate32.round} | ${f"$effLoaded%.3f"} | ${if (effLoaded >= 0.8) "PASS" else "FAIL"} |
+         |
+         |## Replication history (synchronized-window protocol, all invocations)
+         |
+         |Every invocation of this protocol appends to SCALING_HISTORY.jsonl
+         |and is rendered here — the loaded-box pair's PASS must hold across
+         |repeated synchronized invocations, not once (a single co-run sample
+         |sits inside this VM's minute-scale contention noise). Gate per row:
+         |idle-box 4->16 >= 0.8 AND loaded-box >= 0.8.
+         |
+         || rows | eff 4->16 (idle box) | eff 8->32 (idle box) | eff loaded-box | gate |
+         ||---|---|---|---|---|
+         |$histRows
          |
          |Round-4 protocol finding (wave quantization): Spark's default
          |scan-split sizing targets ~defaultParallelism partitions, so

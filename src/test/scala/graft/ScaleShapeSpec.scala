@@ -38,8 +38,16 @@ class ScaleShapeSpec extends SparkSpec {
     // rather than a lineage-truncating checkpoint; the bytes moved are
     // identical, and the byte-ratio test below measures them).
     val textExchanges = exchanges.filter(_.contains("text#"))
+    // Scope the exemption to the DICTIONARY subtree, not to partitioning
+    // kind alone: the dict build's inputs are post-distinct — its
+    // exchanges carry only the distinct value (+ __pid__), never a fact
+    // attribute. A corpus-sized text-bearing shuffle necessarily carries
+    // the fact id (doc_id) alongside the text, so requiring the absence
+    // of doc_id# keeps the gate armed against a future regression that
+    // happens to range- or __pid__-partition the fact table.
     val dictBuild = (b: String) =>
-      b.contains("hashpartitioning(__pid__") || b.contains("rangepartitioning(")
+      (b.contains("hashpartitioning(__pid__") || b.contains("rangepartitioning(")) &&
+        !b.contains("doc_id#")
     val factTextExchanges = textExchanges.filterNot(dictBuild)
     assert(factTextExchanges.isEmpty,
       s"corpus-sized text-bearing exchanges leaked into the join-back plan:\n${factTextExchanges.mkString("\n---\n")}")
