@@ -83,7 +83,9 @@ object SparkEntry {
     "q60_bmp_decode" -> (GraftQueries.q60BmpDecode _),
     "q61_lineage" -> (GraftQueries.q61Lineage _),
     "q62_wav_decode" -> (GraftQueries.q62WavDecode _),
-    "q63_y4m_decode" -> (GraftQueries.q63Y4mDecode _)
+    "q63_y4m_decode" -> (GraftQueries.q63Y4mDecode _),
+    "q64_png_decode" -> (GraftQueries.q64PngDecode _),
+    "q65_resume" -> (GraftQueries.q65Resume _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -147,14 +149,18 @@ object SparkEntry {
     "q60_bmp_decode" -> GraftQueries.q60Sql,
     "q61_lineage" -> GraftQueries.q61Sql,
     "q62_wav_decode" -> GraftQueries.q62Sql,
-    "q63_y4m_decode" -> GraftQueries.q63Sql
-    // q20/q23/q24/q26/q30: minhash-signature / float-cosine /
-    // spherical-cell internals are not SQL-expressible — driver records
-    // rows-only; exactness is pinned in ScalaTest against brute-force
-    // oracles instead. q21/q22 ARE oracle-checked: the md5-simhash
-    // banding is pigeonhole-exact and the shingle-Jaccard verify is
-    // recomputed relationally with DuckDB list ops. q54 (PQ-ANN) and
-    // q25 (IVF) became oracle-exact in round 4 via integer-Lloyd
-    // trainers (integer sums are order-independent).
+    "q63_y4m_decode" -> GraftQueries.q63Sql,
+    "q64_png_decode" -> GraftQueries.q64Sql,
+    "q65_resume" -> GraftQueries.q65Sql,
+    "q20_minhash_lsh" -> GraftQueries.q20Sql
+    // q23/q24/q26/q30: float-cosine / spherical-cell internals are not
+    // SQL-expressible — driver records rows-only; exactness is pinned in
+    // ScalaTest against brute-force oracles instead. q21/q22 ARE
+    // oracle-checked: the md5-simhash banding is pigeonhole-exact and
+    // the shingle-Jaccard verify is recomputed relationally with DuckDB
+    // list ops. q54 (PQ-ANN) and q25 (IVF) became oracle-exact in round
+    // 4 via integer-Lloyd trainers (integer sums are order-independent);
+    // q20 (MinHash LSH) in round 5 via the md5 integer twin with exact
+    // band-slice bucket keys.
   )
 }

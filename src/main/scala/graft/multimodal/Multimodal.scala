@@ -6,15 +6,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column support: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with typed metadata structs.
   *
-  * Round 4: the IMAGE path decodes for real — [[Bmp]] is a from-scratch
-  * 24-bit BMP codec, and [[decodeBmpMeta]] runs it through the batched
-  * per-partition plumbing with a position-weighted pixel checksum that
-  * an external oracle recomputes from the generation formula (driver
-  * query q60). The remaining audio/video kernels stay honest stubs — no
-  * such codecs ship in this container — but share the same tested
-  * plumbing: schema, per-partition batched decoding (one decoder
-  * instance per partition, the shape a JNI/FFmpeg binding needs), and
-  * feature columns that downstream ops (dedup, ANN) consume.
+  * All three modalities decode for REAL with from-scratch codecs, each
+  * driver-oracled by a position-weighted checksum: IMAGE via [[Bmp]]
+  * (24-bit DIB, q60) and [[Png]] (8-bit RGB/RGBA, zlib DEFLATE, all five
+  * scanline filters, q64), AUDIO via [[Wav]] (RIFF/PCM16 chunk walk,
+  * q62), VIDEO via [[Y4m]] (YUV4MPEG2 planar 4:2:0 frames, q63). They
+  * share one plumbing shape: schema, per-partition batched decoding (one
+  * decoder instance per partition — what a JNI/FFmpeg binding would
+  * need), and feature columns that downstream ops (dedup, ANN) consume.
+  * [[decodeOne]]/[[decodeMeta]] keep the original deterministic-fake
+  * path for formats with no in-container codec.
   */
 object Multimodal {
 
@@ -84,6 +85,37 @@ object Multimodal {
           val img = Bmp.decode(bytes)
           ImageMeta(id, img.width, img.height,
             img.width.toLong * img.height, Bmp.checksum(img))
+        }
+      }
+  }
+
+  /** Typed decoded-PNG row (real decode path — carries channels because
+    * the codec handles both RGB and RGBA).
+    */
+  case class PngMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_px: Long,
+      px_checksum: Long)
+
+  /** REAL batched PNG decode over a (id, payload) binary column: each
+    * payload is parsed by the from-scratch [[Png]] codec (chunk walk +
+    * CRC, multi-IDAT zlib inflate, filter reconstruction) and summarized
+    * as a position-weighted pixel checksum. Same decoder-per-partition
+    * shape as the other modalities.
+    */
+  def decodePngMeta(df: DataFrame, idCol: String, binCol: String): Dataset[PngMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Png.decode(bytes)
+          PngMeta(id, img.width, img.height, img.channels,
+            img.width.toLong * img.height, Png.checksum(img))
         }
       }
   }

@@ -100,6 +100,66 @@ object Dedup {
     }
   }
 
+  /** Oracle-exact md5 MinHash twin (round 5, the q21/q25/q54 playbook):
+    * the SAME signature → band → bucket-join LSH shape as
+    * [[minhashCandidates]], but every hash is SQL-recomputable — per
+    * 3-word shingle the base hash is the first 7 hex chars of md5
+    * (28 bits), and hash family k is the affine ((2k+1)·h + k² + 1) mod
+    * (2³¹ − 1); all arithmetic stays under 2³⁶, exact in any engine.
+    * Built entirely from codegen'd built-in column functions (regexp
+    * tokenize → shingle → md5 → min-reduce), so the kernel is row-local
+    * and shuffle-free exactly like the xxhash production path — that
+    * path ([[minhash_sig]]) remains the throughput kernel; this twin
+    * exists so the driver can value-check the full LSH semantics.
+    */
+  def md5MinhashSig(text: Column, numHashes: Int): Column = {
+    val toks = regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), lit(0))
+    val shingles = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val bases = array_distinct(transform(shingles, s =>
+      conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")))
+    transform(sequence(lit(0), lit(numHashes - 1)), k =>
+      array_min(transform(bases, h =>
+        ((lit(2L) * k + 1L) * h + k * k + 1L) % 2147483647L)))
+  }
+
+  /** LSH candidate pairs over [[md5MinhashSig]] with EXACT band keys:
+    * the bucket join key is the band's raw signature slice (4 longs),
+    * not a hash of it — a hash key admits spurious cross-slice
+    * collisions with tiny probability, which is fine for the capped
+    * production path but would break an exact external oracle. Emits
+    * integer-ppm estimated Jaccard (agree · 10⁶ / numHashes is exact —
+    * 15625 per agreeing component at 64 hashes).
+    */
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(1000000 % numHashes == 0, "numHashes must divide 10^6 for exact ppm")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("__id__"),
+      md5MinhashSig(col(textCol), numHashes).as("__sig__"))
+    val banded = sigs.select(col("__id__"), col("__sig__"),
+      posexplode(array((0 until bands).map(b =>
+        slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("__band__", "__bkey__")))
+    val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
+      col("__band__"), col("__bkey__"))
+    val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
+      col("__band__"), col("__bkey__"))
+    l.join(r, Seq("__band__", "__bkey__"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("siga"), col("sigb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v) * (1000000L / numHashes))
+          .as("est_jaccard_ppm"))
+      .dropDuplicates("a", "b")
+  }
+
   /** Full near-dup pipeline: LSH candidates -> exact shingle-Jaccard
     * verify (only on candidates) -> pairs over threshold.
     */

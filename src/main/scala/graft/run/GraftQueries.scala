@@ -511,13 +511,54 @@ object GraftQueries {
       |SELECT k, 'only_rich' AS tag FROM (SELECT k FROM rc EXCEPT SELECT k FROM bo)""".stripMargin
 
   // ------------------------------------------------------------------
-  // Near-dup dedup family (rows-only: LSH internals aren't SQL)
+  // Near-dup dedup family
   // ------------------------------------------------------------------
 
+  /** MinHash LSH candidates, oracle-EXACT since round 5 via the md5
+    * integer twin ([[graft.ops.Dedup.minhashCandidatesMd5]] — the
+    * q21/q25/q54 playbook): md5-derived 28-bit shingle hashes, affine
+    * integer hash family, exact band-slice bucket keys, integer-ppm
+    * estimates. The oracle replays the complete LSH semantics — 64-hash
+    * signature, 16-band collision, agreement count — relationally. The
+    * xxhash production path stays the bench kernel (q39 exercises it
+    * with skew caps).
+    */
   def q20Minhash(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.minhashCandidates(t(spark, dir, "documents"),
-      "doc_id", "text", numHashes = 64, shingleWidth = 3, bands = 16)
-      .filter(col("est_jaccard") >= 0.5)
+    graft.ops.Dedup.minhashCandidatesMd5(t(spark, dir, "documents"),
+      "doc_id", "text", numHashes = 64, bands = 16)
+      .filter(col("est_jaccard_ppm") >= 500000L)
+
+  val q20Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text),
+      |           '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([CAST(('0x' || substr(
+      |             md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 7)) AS BIGINT)
+      |           for i in range(1, len(w) - 1)]) AS hs
+      |  FROM ws WHERE len(w) >= 3),
+      |sigc AS (
+      |  SELECT doc_id, k,
+      |         list_min([((2*k + 1) * h + k*k + 1) % 2147483647 for h in hs]) AS mh
+      |  FROM sh, (SELECT unnest(range(64)) AS k)),
+      |sig AS (SELECT doc_id, list(mh ORDER BY k) AS s FROM sigc GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, x.s AS sa, y.s AS sb
+      |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id),
+      |scored AS (
+      |  SELECT a, b,
+      |         list_sum([CASE WHEN sa[4*bnd+1] = sb[4*bnd+1]
+      |                         AND sa[4*bnd+2] = sb[4*bnd+2]
+      |                         AND sa[4*bnd+3] = sb[4*bnd+3]
+      |                         AND sa[4*bnd+4] = sb[4*bnd+4]
+      |                        THEN 1 ELSE 0 END for bnd in range(0, 16)]) AS nb,
+      |         list_sum([CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END
+      |                   for i in range(1, 65)]) AS agree
+      |  FROM pairs)
+      |SELECT a, b, CAST(agree * 15625 AS BIGINT) AS est_jaccard_ppm
+      |FROM scored WHERE nb > 0 AND agree * 15625 >= 500000""".stripMargin
 
   /** SimHash near-dup pairs, end-to-end oracle-checked: the 60-bit
     * md5-token simhash is recomputable in SQL, and the 4x15-bit banding is
@@ -1914,6 +1955,97 @@ object GraftQueries {
       |           * (p + 1)
       |         for p in range(0, nf * fb) ]) AS BIGINT) AS yuv_checksum
       |FROM f""".stripMargin
+
+  /** REAL PNG decode through the multimodal plumbing (round 5): each
+    * document id becomes a deterministic 8-bit PNG
+    * ([[graft.multimodal.Png.synth]]) whose row filters CYCLE through
+    * all five PNG filter types (heights >= 5 guarantee every filter
+    * appears in every image), alternating RGB / RGBA per doc, zlib
+    * stream split across two IDAT chunks. The from-scratch decoder
+    * (chunk walk + hand-rolled CRC-32, Inflater, filter reconstruction)
+    * parses it back; the position-weighted pixel checksum is
+    * oracle-checked against the generation formula — a bug in any filter
+    * path, row order, channel order, or IDAT concatenation breaks the
+    * match.
+    */
+  def q64PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      graft.multimodal.Png.synth(id, (5 + id % 8).toInt, (5 + id % 6).toInt,
+        (3 + id % 2).toInt)
+    }
+    val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", synth(col("doc_id")))
+    graft.multimodal.Multimodal.decodePngMeta(imgs, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"), col("n_px"),
+        col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 5 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+      |         3 + doc_id % 2 AS ch
+      |  FROM documents)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(ch AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+      |       CAST(list_sum([ (p + 1) * (
+      |           (doc_id + ch*p) % 256
+      |           + 2 * ((doc_id + ch*p + 1) % 256)
+      |           + 3 * ((doc_id + ch*p + 2) % 256)
+      |           + (ch - 3) * 4 * ((doc_id + ch*p + 3) % 256))
+      |         for p in range(0, w * h) ]) AS BIGINT) AS px_checksum
+      |FROM d""".stripMargin
+
+  /** Kill-and-resume through the driver surface (round 5; the north
+    * rule's resumability, previously spec-only): build a full tile
+    * store, simulate a killed run by deleting HALF the region files
+    * (every other tile, plus one whole tile directory), then re-run
+    * `toTileStore(resume = true)` — the resume path must skip complete
+    * tiles and re-burn exactly the missing ones (region writes are
+    * atomic + idempotent, [[graft.raster.TileStore.writeRegion]]). The
+    * emitted rows read the RESUMED store back cell by cell; the oracle
+    * recomputes what an uninterrupted build produces, so any
+    * resume defect (skipped re-burn, double burn, stale region) is a
+    * value mismatch.
+    */
+  def q65Resume(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir).withColumn("geometry",
+      st_point(col("x").cast("double"), col("y").cast("double")))
+    val path = scratchStore(spark, "q65")
+    graft.raster.RasterPipeline.toTileStore(pts, "geometry", Seq.empty, path,
+      cellSize = 10000, tileSize = 100000, overwrite = true)
+    // Simulate the kill: wipe every other tile's region file and one
+    // whole tile directory (deterministic subset — sorted tile refs).
+    val store = new graft.raster.TileStore(path)
+    val tiles = store.tiles()
+    tiles.zipWithIndex.foreach { case (ref, i) =>
+      val tileDir = java.nio.file.Paths.get(path, s"tile=$ref")
+      if (i == 0) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(tileDir).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.delete)
+        java.nio.file.Files.delete(tileDir)
+      } else if (i % 2 == 0) {
+        java.nio.file.Files.delete(tileDir.resolve("mask.bin"))
+      }
+    }
+    val survivors = store.completeTiles(Seq("mask")).size
+    require(survivors < tiles.size,
+      s"kill simulation deleted nothing ($survivors of ${tiles.size} complete)")
+    graft.raster.RasterPipeline.toTileStore(pts, "geometry", Seq.empty, path,
+      cellSize = 10000, tileSize = 100000, resume = true)
+    graft.raster.RasterPipeline.fromTileStore(spark, path, "mask")
+      .select(col("cell_e"), col("cell_n"),
+        col("value").cast("long").as("value"))
+  }
+
+  /** Same oracle as q35: the resumed store must be indistinguishable
+    * from an uninterrupted build.
+    */
+  val q65Sql: String = q35Sql
 
   /** Lineage DAG through the driver surface (round 4; reference
     * `graph.py:124-257` semantics): a 3-op LayerWrapper pipeline
