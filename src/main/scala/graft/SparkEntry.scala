@@ -152,15 +152,17 @@ object SparkEntry {
     "q63_y4m_decode" -> GraftQueries.q63Sql,
     "q64_png_decode" -> GraftQueries.q64Sql,
     "q65_resume" -> GraftQueries.q65Sql,
-    "q20_minhash_lsh" -> GraftQueries.q20Sql
-    // q23/q24/q26/q30: float-cosine / spherical-cell internals are not
+    "q20_minhash_lsh" -> GraftQueries.q20Sql,
+    "q23_embed_neardup" -> GraftQueries.q23Sql
+    // q24/q26/q30: float-cosine / spherical-cell internals are not
     // SQL-expressible — driver records rows-only; exactness is pinned in
     // ScalaTest against brute-force oracles instead. q21/q22 ARE
     // oracle-checked: the md5-simhash banding is pigeonhole-exact and
     // the shingle-Jaccard verify is recomputed relationally with DuckDB
     // list ops. q54 (PQ-ANN) and q25 (IVF) became oracle-exact in round
     // 4 via integer-Lloyd trainers (integer sums are order-independent);
-    // q20 (MinHash LSH) in round 5 via the md5 integer twin with exact
-    // band-slice bucket keys.
+    // q20 (MinHash LSH) and q23 (embedding near-dup) in round 5 via md5
+    // integer twins (exact band-slice bucket keys / md5-parity
+    // hyperplanes + all-integer cosine threshold).
   )
 }

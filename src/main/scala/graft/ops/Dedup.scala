@@ -365,6 +365,63 @@ object Dedup {
     embeddingNearDup(reps, idCol, vecCol, threshold, bits, tables, bucketCap)
   }
 
+  /** Oracle-exact integer twin of [[embeddingNearDup]] (the
+    * q20/q21/q25/q54 playbook): float vectors are quantized to longs
+    * (`floor(x * quant)` — double multiply + floor, deterministic IEEE in
+    * any engine), LSH sign keys come from md5-parity +/-1 hyperplanes
+    * ([[MdIntRhpSign]] — exact integer projections, no float sign), and
+    * the refine compares `cos >= thrNum/thrDen` as the all-integer
+    * predicate `num >= 0 && num^2 * thrDen^2 >= thrNum^2 * n2a * n2b`, so
+    * the COMPLETE pipeline — bucketing, candidates, accept/reject — is
+    * replayable relationally by an external SQL engine.
+    *
+    * Same 100 TB shuffle shape as the float path: sign keys are computed
+    * row-locally in one scan, ONLY (id, table, key) rides the bucket
+    * self-join, and vectors re-join once per side for the integer refine
+    * after candidates have collapsed.
+    *
+    * Overflow audit (IntVecSpec pins it on the shipped testdata): with
+    * `m = max |x| * quant` per component, `num <= dim * m^2` and the
+    * refine squares it once more — for dim 64, quant 1000, |x| <= 0.6,
+    * `num^2 * 400 ~ 1.9e17`, inside Long under ANSI arithmetic.
+    *
+    * Output (a, b, cos_ppm): cos_ppm = floor(num * 1e6 / sqrt(n2a*n2b))
+    * — exact-integer inputs through correctly-rounded IEEE sqrt/divide/
+    * floor, so engines agree bit-for-bit.
+    */
+  def embeddingNearDupIntMd5(df: DataFrame, idCol: String, vecCol: String,
+      thrNum: Long = 19, thrDen: Long = 20, quant: Int = 1000,
+      bits: Int = 16, tables: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("__id__"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quant).cast("long")).as("__q__"))
+    val keyed = base.select(col("__id__"),
+      posexplode(array((0 until tables).map(t =>
+        Bridge.column(MdIntRhpSign(Bridge.expression(col("__q__")), bits, t))): _*))
+        .as(Seq("__t__", "__key__")))
+    val l = keyed.select(col("__id__").as("a"), col("__t__"), col("__key__"))
+    val r = keyed.select(col("__id__").as("b"), col("__t__"), col("__key__"))
+    val candidates = l.join(r, Seq("__t__", "__key__"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    def dot(x: Column, y: Column): Column =
+      Bridge.column(IntDotProduct(Bridge.expression(x), Bridge.expression(y)))
+    candidates
+      .join(base.select(col("__id__").as("a"), col("__q__").as("__qa__")), Seq("a"))
+      .join(base.select(col("__id__").as("b"), col("__q__").as("__qb__")), Seq("b"))
+      .withColumn("num", dot(col("__qa__"), col("__qb__")))
+      .withColumn("n2a", dot(col("__qa__"), col("__qa__")))
+      .withColumn("n2b", dot(col("__qb__"), col("__qb__")))
+      .filter(col("num") >= 0 &&
+        col("num") * col("num") * lit(thrDen * thrDen) >=
+          lit(thrNum * thrNum) * col("n2a") * col("n2b"))
+      .select(col("a"), col("b"),
+        floor(col("num").cast("double") * 1e6 /
+          sqrt(col("n2a").cast("double") * col("n2b").cast("double")))
+          .cast("long").as("cos_ppm"))
+  }
+
   /** Cosine similarity of two equal-length numeric arrays in double
     * precision, array order fixed — a single fused JVM loop (CosineSim).
     * For equal-length inputs it is bitwise-identical to the previous

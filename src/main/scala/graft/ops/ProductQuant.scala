@@ -226,21 +226,30 @@ object ProductQuant {
   def adcTopKReranked(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, id: String, vec: String,
       codebooks: Array[Array[Array[Double]]], k: Int,
-      shortlist: Int = 64): DataFrame = {
+      shortlist: Int = 64, intDist: Boolean = false): DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val encoded = encode(corpus, id, vec, codebooks)
     val cand = adcTopK(queries, qId, qVec, encoded, id, "codes",
         codebooks, shortlist)
       .select(col(qId), col(id))
     val qside = queries.select(col(qId), col(qVec))
+    // `intDist`: vectors are integer-valued (the q54 oracle twin) — one
+    // codegen'd exact-long kernel call per pair (IntL2Squared) instead
+    // of the double aggregate(zip_with(...)) lambda chain. The double
+    // path stays the default for real float embeddings, where integer
+    // truncation would be wrong.
     val exact = cand
       .join(corpus.select(col(id), col(vec)), Seq(id))
       .join(broadcast(qside), Seq(qId))
-      .withColumn("dist2", aggregate(
-        zip_with(col(vec), col(qVec),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist2",
+        if (intDist)
+          Bridge.column(IntL2Squared(
+            Bridge.expression(col(vec)), Bridge.expression(col(qVec))))
+        else aggregate(
+          zip_with(col(vec), col(qVec),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy(col(qId)).orderBy(col("dist2"), col(id))
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

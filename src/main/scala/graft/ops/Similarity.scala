@@ -178,12 +178,12 @@ object Similarity {
     val probed = queries.withColumn("__list__",
       explode(Bridge.column(NearestCentroidsExpr(
         Bridge.expression(col(qVec)), centroids, nprobe))))
+    // exact integer L2 in ONE codegen'd kernel call per pair (round 5:
+    // replaces the aggregate(zip_with(...)) chain — 2*dim lambda
+    // evaluations plus a zipped ArrayData allocation per candidate)
     val pairs = listed.join(broadcast(probed), Seq("__list__"))
-      .withColumn("dist2", aggregate(
-        zip_with(col(vec), col(qVec),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist2", Bridge.column(IntL2Squared(
+        Bridge.expression(col(vec)), Bridge.expression(col(qVec)))))
     val w = Window.partitionBy(col(qId)).orderBy(col("dist2"), col(id))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

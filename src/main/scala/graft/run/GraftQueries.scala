@@ -640,7 +640,12 @@ object GraftQueries {
   /** Embedding near-dup: the shared embeddings table has no natural
     * high-cosine pairs (max ~0.48), so plant perturbed copies of the
     * first 20 vectors (deterministic) and find them via
-    * random-hyperplane LSH + exact cosine refine.
+    * hyperplane LSH + cosine refine. Oracle-EXACT since round 5 via the
+    * integer twin ([[graft.ops.Dedup.embeddingNearDupIntMd5]]): quantized
+    * long vectors, md5-parity +/-1 hyperplanes, all-integer threshold
+    * predicate — the oracle replays bucketing, candidate generation and
+    * accept/reject relationally. The float-cosine RHP path stays the
+    * production default (DedupSpec + Bench rhp kernel).
     */
   def q23EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -649,9 +654,63 @@ object GraftQueries {
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x.cast("double") * 1.01).cast("float")).otherwise(x))
           .as("embedding"))
-    graft.ops.Dedup.embeddingNearDup(emb.unionByName(planted),
-      "vec_id", "embedding", threshold = 0.95)
+    graft.ops.Dedup.embeddingNearDupIntMd5(emb.unionByName(planted),
+      "vec_id", "embedding", thrNum = 19, thrDen = 20)
   }
+
+  /** DuckDB replay of the COMPLETE integer LSH pipeline: same md5-parity
+    * hyperplanes (w = +1 iff first-7-hex md5 integer is odd), same
+    * floor(x*1000) quantization, same 4x16-bit sign keys, same
+    * all-integer 0.95-cosine predicate. HUGEINT absorbs the squared
+    * products on the DuckDB side; the Spark side's Long bound is audited
+    * in IntVecSpec.
+    */
+  val q23Sql: String =
+    """WITH emb0 AS (SELECT vec_id, embedding FROM embeddings),
+      |allv AS (
+      |  SELECT vec_id, embedding FROM emb0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |         [CASE WHEN i = 1
+      |             THEN CAST(CAST(embedding[i] AS DOUBLE) * 1.01::DOUBLE AS REAL)
+      |             ELSE embedding[i] END for i in range(1, len(embedding) + 1)]
+      |           AS embedding
+      |  FROM emb0 WHERE vec_id < 20),
+      |q AS (
+      |  SELECT vec_id, i - 1 AS d,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+      |  FROM allv, (SELECT unnest(range(1, 65)) AS i)),
+      |w AS (
+      |  SELECT t.t, b.b, d.d,
+      |         CASE WHEN CAST(('0x' || substr(
+      |             md5('rhp:' || t.t || ':' || b.b || ':' || d.d), 1, 7))
+      |             AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS w
+      |  FROM range(0, 4) t(t), range(0, 16) b(b), range(0, 64) d(d)),
+      |sb AS (
+      |  SELECT q.vec_id, w.t, w.b,
+      |         CASE WHEN SUM(w.w * q.qv) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM q JOIN w ON q.d = w.d GROUP BY q.vec_id, w.t, w.b),
+      |keys AS (
+      |  SELECT vec_id, t,
+      |         CAST(SUM(CAST(bit AS BIGINT) << b) AS BIGINT) AS key
+      |  FROM sb GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |  FROM keys x JOIN keys y ON x.t = y.t AND x.key = y.key
+      |   AND x.vec_id < y.vec_id),
+      |n2 AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM q GROUP BY vec_id),
+      |nums AS (
+      |  SELECT c.a, c.b, SUM(qa.qv * qb.qv) AS num
+      |  FROM cand c
+      |  JOIN q qa ON qa.vec_id = c.a
+      |  JOIN q qb ON qb.vec_id = c.b AND qb.d = qa.d
+      |  GROUP BY c.a, c.b)
+      |SELECT n.a, n.b,
+      |       CAST(floor(CAST(n.num AS DOUBLE) * 1000000 /
+      |         sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+      |         AS BIGINT) AS cos_ppm
+      |FROM nums n JOIN n2 na ON na.vec_id = n.a JOIN n2 nb ON nb.vec_id = n.b
+      |WHERE n.num >= 0 AND n.num * n.num * 400 >= 361 * na.n2 * nb.n2""".stripMargin
 
   /** ANN float-cosine top-k (exact baseline, rows-only — float sums are
     * not oracle-stable across engines; the integer variant q17 is).
@@ -1576,7 +1635,7 @@ object GraftQueries {
     val cb = graft.ops.ProductQuant.trainCodebooksDistributedInt(
       corpus, "vec_id", "vec", m = 8, k = 16, iters = 1)
     graft.ops.ProductQuant.adcTopKReranked(queries, "qid", "qvec",
-        corpus, "vec_id", "vec", cb, k = 10, shortlist = 50)
+        corpus, "vec_id", "vec", cb, k = 10, shortlist = 50, intDist = true)
       .select(col("qid"), col("vec_id"),
         col("dist2").cast("long").as("dist2"), col("rank").cast("long").as("rank"))
       .orderBy(col("qid"), col("rank"))

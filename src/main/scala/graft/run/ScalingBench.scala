@@ -97,14 +97,20 @@ object ScalingBench {
       val r8 = window(8, 4)
       (r8, r32)
     }
-    val effLoaded = rate32 / (4.0 * rate8)
+    // A side where EVERY child missed the synchronized window measures
+    // nothing: the loaded pair of this invocation is INVALID, not 0 or
+    // Infinity — record it as such (efficiency_loaded null) so the gate
+    // renderer can exclude it instead of parsing a non-JSON Infinity.
+    val loadedValid = rate8 > 0.0 && rate32 > 0.0
+    val effLoaded = if (loadedValid) rate32 / (4.0 * rate8) else 0.0
 
     // Replication record: every synchronized-protocol invocation appends
     // one line here, and BENCH.md renders the full history — the round-4
     // loaded-box PASS had n=1 (only the third invocation used
     // synchronized windows), and a single-sample gate is not a gate.
+    val effLoadedJson = if (loadedValid) f"$effLoaded%.3f" else "null"
     val jsonLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"rows":$n,"rps4":${rps4.round},"rps16":${rps16.round},"rps8":${rps8.round},"rps32":${rps32.round},"efficiency_4_16":${f"$eff416%.3f"},"efficiency_8_32":${f"$eff832%.3f"},"loaded_rate8":${rate8.round},"loaded_rate32":${rate32.round},"efficiency_loaded":${f"$effLoaded%.3f"}}"""
+      s"""{"ts_ms":${System.currentTimeMillis()},"rows":$n,"rps4":${rps4.round},"rps16":${rps16.round},"rps8":${rps8.round},"rps32":${rps32.round},"efficiency_4_16":${f"$eff416%.3f"},"efficiency_8_32":${f"$eff832%.3f"},"loaded_rate8":${rate8.round},"loaded_rate32":${rate32.round},"efficiency_loaded":$effLoadedJson}"""
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALING_HISTORY",
         "/root/repo/SCALING_HISTORY.jsonl"))
@@ -119,9 +125,15 @@ object ScalingBench {
           (s""""$k":([0-9.]+)""".r).findFirstMatchIn(l).map(_.group(1))
         for {
           e416 <- f("efficiency_4_16"); e832 <- f("efficiency_8_32")
-          el <- f("efficiency_loaded"); rows <- f("rows")
-        } yield s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | $el |" +
-          s" ${if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS" else "FAIL"} |"
+          rows <- f("rows")
+        } yield f("efficiency_loaded") match {
+          case Some(el) =>
+            s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | $el |" +
+              s" ${if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS" else "FAIL"} |"
+          case None =>
+            s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | — |" +
+              " INVALID (co-run children missed the synchronized window) |"
+        }
       }.mkString("\n")
     }
 
@@ -151,7 +163,7 @@ object ScalingBench {
          ||---|---|---|---|---|
          || local[4] -> local[16] | ${rps4.round} | ${rps16.round} | ${f"$eff416%.3f"} | ${if (eff416 >= 0.8) "PASS" else "FAIL"} |
          || local[8] -> local[32] | ${rps8.round} | ${rps32.round} | ${f"$eff832%.3f"} | ${if (eff832 >= 0.8) "PASS" else "FAIL"} |
-         || loaded-box 4 x local[8] co-run -> local[32] | ${rate8.round} (per instance) | ${rate32.round} | ${f"$effLoaded%.3f"} | ${if (effLoaded >= 0.8) "PASS" else "FAIL"} |
+         || loaded-box 4 x local[8] co-run -> local[32] | ${rate8.round} (per instance) | ${rate32.round} | ${if (loadedValid) f"$effLoaded%.3f" else "—"} | ${if (!loadedValid) "INVALID (missed window)" else if (effLoaded >= 0.8) "PASS" else "FAIL"} |
          |
          |## Replication history (synchronized-window protocol, all invocations)
          |
