@@ -85,7 +85,8 @@ object SparkEntry {
     "q62_wav_decode" -> (GraftQueries.q62WavDecode _),
     "q63_y4m_decode" -> (GraftQueries.q63Y4mDecode _),
     "q64_png_decode" -> (GraftQueries.q64PngDecode _),
-    "q65_resume" -> (GraftQueries.q65Resume _)
+    "q65_resume" -> (GraftQueries.q65Resume _),
+    "q66_jpeg_decode" -> (GraftQueries.q66JpegDecode _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -152,6 +153,7 @@ object SparkEntry {
     "q63_y4m_decode" -> GraftQueries.q63Sql,
     "q64_png_decode" -> GraftQueries.q64Sql,
     "q65_resume" -> GraftQueries.q65Sql,
+    "q66_jpeg_decode" -> GraftQueries.q66Sql,
     "q20_minhash_lsh" -> GraftQueries.q20Sql,
     "q23_embed_neardup" -> GraftQueries.q23Sql
     // q24/q26/q30: float-cosine / spherical-cell internals are not

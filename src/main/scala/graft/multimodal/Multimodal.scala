@@ -120,6 +120,36 @@ object Multimodal {
       }
   }
 
+  /** Typed decoded-JPEG row (real decode path). */
+  case class JpegMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_px: Long,
+      px_checksum: Long)
+
+  /** REAL batched JPEG decode over a (id, payload) binary column: each
+    * payload is parsed by the from-scratch [[Jpeg]] baseline codec
+    * (marker walk, Huffman + DC-diff + restart entropy decode, dequant,
+    * IDCT, 4:2:0 upsampling, YCbCr->RGB) and summarized as a
+    * position-weighted pixel checksum. Same decoder-per-partition shape
+    * as the other modalities.
+    */
+  def decodeJpegMeta(df: DataFrame, idCol: String, binCol: String): Dataset[JpegMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Jpeg.decode(bytes)
+          JpegMeta(id, img.width, img.height, img.channels,
+            img.width.toLong * img.height, Jpeg.checksum(img))
+        }
+      }
+  }
+
   /** Typed decoded-audio row (real decode path). */
   case class AudioMeta(
       id: Long,

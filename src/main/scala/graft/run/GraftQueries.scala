@@ -2145,4 +2145,85 @@ object GraftQueries {
       |'079ce84dad9029a21abd242688b0644e' AS dot_md5,
       |(SELECT CAST(LEAST(count(*), 100) AS BIGINT)
       |   FROM documents WHERE lang = 'en') AS n_rows""".stripMargin
+
+  /** REAL baseline JPEG decode through the multimodal plumbing (round
+    * 5, closing the real-web image pair with q64's PNG): each document
+    * id becomes a REAL entropy-coded baseline JPEG
+    * ([[graft.multimodal.Jpeg.synth]]) cycling grayscale / YCbCr 4:4:4
+    * / YCbCr 4:2:0 by doc id, with DC-diff chains through the standard
+    * Annex K Huffman tables and a 2-MCU restart interval. Blocks carry
+    * DC-only coefficients — the one family the double IDCT reproduces
+    * EXACTLY — so the decoded pixels (after 4:2:0 upsampling and the
+    * floor(x+0.5) JFIF YCbCr->RGB) equal a closed form the oracle
+    * recomputes; a bug in the marker walk, Huffman/restart layer,
+    * dequant, MCU interleave, upsampling or color conversion breaks the
+    * position-weighted checksum. The AC/zigzag/IDCT path is pinned in
+    * JpegSpec against an independent reference.
+    */
+  def q66JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (id: Long) =>
+      val mode = (id % 3).toInt
+      val bx = if (mode == 2) (2 * (1 + id % 2)).toInt else (1 + id % 3).toInt
+      val by = if (mode == 2) 2 else (1 + id % 2).toInt
+      graft.multimodal.Jpeg.synth(id, mode, bx, by)
+    }
+    val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("payload", synth(col("doc_id")))
+    graft.multimodal.Multimodal.decodeJpegMeta(imgs, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"), col("n_px"),
+        col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed-form replay: per-block constant planes (the synthValue
+    * formula), nearest upsampling (4:2:0 chroma block = pixel//16), JFIF
+    * conversion with FLOOR(x+0.5) and LEAST/GREATEST clamp — identical
+    * double arithmetic to the decoder's.
+    */
+  val q66Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS mode,
+      |         CASE WHEN doc_id % 3 = 2 THEN 2 * (1 + doc_id % 2)
+      |              ELSE 1 + doc_id % 3 END AS bxn,
+      |         CASE WHEN doc_id % 3 = 2 THEN 2
+      |              ELSE 1 + doc_id % 2 END AS byn
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, mode, 8 * bxn AS w, 8 * byn AS h,
+      |         CASE WHEN mode = 0 THEN 1 ELSE 3 END AS ch,
+      |         CASE WHEN mode = 2 THEN 16 ELSE 8 END AS cs
+      |  FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(ch AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+      |       CAST(list_sum([ (p + 1) * (
+      |         CASE WHEN ch = 1 THEN
+      |           28 + ((doc_id * 31
+      |             + (CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / 8) AS BIGINT)) * 17
+      |             + (CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / 8) AS BIGINT)) * 7) % 200)
+      |         ELSE
+      |           LEAST(255, GREATEST(0, CAST(FLOOR(0.5 +
+      |             (28 + ((doc_id * 31
+      |               + CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / 8) AS BIGINT) * 17
+      |               + CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / 8) AS BIGINT) * 7) % 200))
+      |             + CASE p % ch
+      |                 WHEN 0 THEN 1.402 * ((28 + ((doc_id * 31 + 2 * 59
+      |                   + CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / cs) AS BIGINT) * 17
+      |                   + CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / cs) AS BIGINT) * 7) % 200)) - 128)
+      |                 WHEN 1 THEN
+      |                   - 0.344136 * ((28 + ((doc_id * 31 + 1 * 59
+      |                     + CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / cs) AS BIGINT) * 17
+      |                     + CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / cs) AS BIGINT) * 7) % 200)) - 128)
+      |                   - 0.714136 * ((28 + ((doc_id * 31 + 2 * 59
+      |                     + CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / cs) AS BIGINT) * 17
+      |                     + CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / cs) AS BIGINT) * 7) % 200)) - 128)
+      |                 ELSE 1.772 * ((28 + ((doc_id * 31 + 1 * 59
+      |                   + CAST(FLOOR(CAST(FLOOR(p / ch) AS BIGINT) / w / cs) AS BIGINT) * 17
+      |                   + CAST(FLOOR((CAST(FLOOR(p / ch) AS BIGINT) % w) / cs) AS BIGINT) * 7) % 200)) - 128)
+      |               END) AS BIGINT)))
+      |         END)
+      |         for p in range(0, w * h * ch) ]) AS BIGINT) AS px_checksum
+      |FROM g""".stripMargin
 }
