@@ -155,16 +155,20 @@ object SparkEntry {
     "q65_resume" -> GraftQueries.q65Sql,
     "q66_jpeg_decode" -> GraftQueries.q66Sql,
     "q20_minhash_lsh" -> GraftQueries.q20Sql,
-    "q23_embed_neardup" -> GraftQueries.q23Sql
-    // q24/q26/q30: float-cosine / spherical-cell internals are not
-    // SQL-expressible — driver records rows-only; exactness is pinned in
-    // ScalaTest against brute-force oracles instead. q21/q22 ARE
-    // oracle-checked: the md5-simhash banding is pigeonhole-exact and
-    // the shingle-Jaccard verify is recomputed relationally with DuckDB
-    // list ops. q54 (PQ-ANN) and q25 (IVF) became oracle-exact in round
-    // 4 via integer-Lloyd trainers (integer sums are order-independent);
-    // q20 (MinHash LSH) and q23 (embedding near-dup) in round 5 via md5
-    // integer twins (exact band-slice bucket keys / md5-parity
-    // hyperplanes + all-integer cosine threshold).
+    "q23_embed_neardup" -> GraftQueries.q23Sql,
+    "q24_ann_cosine" -> GraftQueries.q24Sql,
+    "q26_lang_quality" -> GraftQueries.q26Sql
+    // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders
+    // chain an inverse transverse-Mercator projection, a Helmert datum
+    // shift, and icosahedral-hex / Hilbert-cube indexing — not
+    // SQL-expressible; exactness is pinned by H3S2Spec (known-value and
+    // property tests) and the BNG leg is oracle-exact via q12/q13.
+    // Everything else is oracle-checked: q21 md5-simhash banding is
+    // pigeonhole-exact; q22 shingle-Jaccard is recomputed relationally;
+    // q54/q25 via integer-Lloyd trainers (round 4); q20/q23 via md5
+    // integer twins (round 5); q24 float cosine is bit-reproducible
+    // because both engines sum sequentially in double (round 5); q26's
+    // three text kernels are replicated relationally, incl. the FNV-1a
+    // fold as a recursive CTE in HUGEINT mod-2^64 arithmetic (round 5).
   )
 }

@@ -712,16 +712,39 @@ object GraftQueries {
       |FROM nums n JOIN n2 na ON na.vec_id = n.a JOIN n2 nb ON nb.vec_id = n.b
       |WHERE n.num >= 0 AND n.num * n.num * 400 >= 361 * na.n2 * nb.n2""".stripMargin
 
-  /** ANN float-cosine top-k (exact baseline, rows-only — float sums are
-    * not oracle-stable across engines; the integer variant q17 is).
+  /** ANN float-cosine top-k (exact baseline). Oracle-EXACT since round 5:
+    * [[graft.ops.Dedup.cosineData]] accumulates dot/na/nb as SEQUENTIAL
+    * double adds over float32 inputs (one IEEE rounding per op, fixed
+    * order), and DuckDB's `list_sum` over a DOUBLE list comprehension is
+    * the same plain sequential sum (verified empirically: a
+    * cancellation-crafted case where compensated summation would differ
+    * matches the sequential result bit-for-bit) — so the cosine DOUBLE is
+    * bit-identical across both engines, no quantization needed.
     */
   def q24AnnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     graft.ops.Similarity.bruteForceTopK(qs, "qid", "qvec",
-      emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("qid"), col("rank"))
   }
+
+  val q24Sql: String =
+    """WITH c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 10),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |pairs AS (SELECT q.qid, c.vec_id,
+      |  list_sum([CAST(q.qv[d] AS DOUBLE) * CAST(c.v[d] AS DOUBLE) for d in range(1, 65)]) AS dot,
+      |  list_sum([CAST(q.qv[d] AS DOUBLE) * CAST(q.qv[d] AS DOUBLE) for d in range(1, 65)]) AS na,
+      |  list_sum([CAST(c.v[d] AS DOUBLE) * CAST(c.v[d] AS DOUBLE) for d in range(1, 65)]) AS nb
+      |  FROM q CROSS JOIN c),
+      |ranked AS (SELECT qid, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine,
+      |  CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
 
   /** IVF-bucketed ANN (the 100TB scale path) under an EXACT driver
     * oracle (round 4): integer-valued vectors + the integer-Lloyd
@@ -810,12 +833,83 @@ object GraftQueries {
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS BIGINT) AS rank
       |  FROM scored) WHERE rank <= 10""".stripMargin
 
-  /** Language id (n-gram heuristic; rows-only, accuracy pinned in specs). */
+  /** Language id + quality + fingerprint. Oracle-EXACT since round 5: the
+    * three kernels are replicated relationally in DuckDB —
+    *  - lang_id: bigram extraction (adjacent letter pairs of the
+    *    lowercased text) joined against a VALUES table generated from
+    *    [[graft.text.TextAnalysis.LangProfiles]] (same constant, no
+    *    drift), strict-majority scoring with the kernel's sorted-lang
+    *    tie-break = `ORDER BY s DESC, lang`;
+    *  - quality: every term is a single IEEE double op on exact integer
+    *    counts, written in the kernel's exact evaluation order, so the
+    *    double is bit-identical and its floor-ppm matches exactly;
+    *  - fingerprint64: the FNV-1a fold runs in a recursive CTE with
+    *    HUGEINT mod-2^64 arithmetic (DuckDB BIGINT errors on the wrapping
+    *    multiply); the xor over the low 7 bits is exact because the
+    *    normalized text is ASCII (q27's byte-level oracle pins that).
+    * The raw double `quality` remains spec-pinned (TextAnalysisSpec).
+    */
   def q26LangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
       graft.text.TextAnalysis.lang_id(col("text")).as("lang_pred"),
-      graft.text.TextAnalysis.quality_score(col("text")).as("quality"),
+      floor(graft.text.TextAnalysis.quality_score(col("text")) *
+        lit(1000000.0)).cast("long").as("quality_ppm"),
       graft.text.TextAnalysis.fingerprint(col("text")).as("fp64"))
+
+  val q26Sql: String = {
+    val profRows = graft.text.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+      .flatMap { case (lang, bgs) => bgs.map(bg => s"('$lang','$bg')") }
+      .mkString(", ")
+    val stopList = graft.text.TextAnalysis.StopWords.toSeq.sorted
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH prof(lang, bg) AS (VALUES $profRows),
+      |low AS (SELECT doc_id, lower(text) AS s FROM documents),
+      |bg AS (
+      |  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS bg
+      |  FROM (SELECT doc_id, s, UNNEST(range(1, len(s))) AS i FROM low)
+      |  WHERE substr(s, CAST(i AS INT), 1) BETWEEN 'a' AND 'z'
+      |    AND substr(s, CAST(i AS INT) + 1, 1) BETWEEN 'a' AND 'z'),
+      |sc AS (SELECT b.doc_id, p.lang, COUNT(*) AS s
+      |       FROM bg b JOIN prof p ON p.bg = b.bg GROUP BY 1, 2),
+      |best AS (SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+      |  FROM sc) WHERE rn = 1),
+      |stats AS (SELECT doc_id, len(text) AS ln,
+      |  len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+      |  len(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+      |  len(text) - len(replace(text, ' ', '')) AS spaces,
+      |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]') AS toks
+      |  FROM documents),
+      |qual AS (SELECT doc_id,
+      |  CASE WHEN ln = 0 OR len(toks) = 0 THEN 0
+      |  ELSE CAST(floor((
+      |      CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(len(toks) AS DOUBLE) / CAST(20.0 AS DOUBLE))
+      |    + CAST(0.25 AS DOUBLE) * (CAST(alpha AS DOUBLE) / ln)
+      |    + CAST(0.2 AS DOUBLE) * GREATEST(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - (CAST(4.0 AS DOUBLE) * (ln - alpha - digits - spaces)) / ln)
+      |    + CAST(0.15 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), (CAST(4.0 AS DOUBLE) * len(list_filter(toks, x -> lower(x) IN ($stopList)))) / len(toks))
+      |    + CAST(0.1 AS DOUBLE) * (CASE WHEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) >= CAST(2.5 AS DOUBLE)
+      |                               AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) <= CAST(9.0 AS DOUBLE)
+      |                              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END)
+      |    ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) END AS quality_ppm
+      |  FROM stats),
+      |norm AS (SELECT doc_id, regexp_replace(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13)), '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g') AS s FROM documents),
+      |fnv AS (
+      |  WITH RECURSIVE r AS (
+      |    SELECT doc_id, s, 1 AS i, CAST(1469598103934665603 AS HUGEINT) AS h FROM norm
+      |    UNION ALL
+      |    SELECT doc_id, s, i + 1,
+      |      (((h - (h % 128)) + xor(CAST(h % 128 AS BIGINT), ord(substr(s, i, 1)))) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+      |    FROM r WHERE i <= len(s))
+      |  SELECT doc_id, CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+      |    THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS fp64
+      |  FROM r WHERE i = len(s) + 1)
+      |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred, q.quality_ppm, f.fp64
+      |FROM documents d
+      |LEFT JOIN best b ON b.doc_id = d.doc_id
+      |JOIN qual q ON q.doc_id = d.doc_id
+      |JOIN fnv f ON f.doc_id = d.doc_id""".stripMargin
+  }
 
   /** BPE-ish tokenizer count — oracle via regexp in both engines. */
   def q27Tokens(spark: SparkSession, dir: String): DataFrame =

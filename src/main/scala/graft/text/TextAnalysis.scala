@@ -61,6 +61,12 @@ object TextAnalysis {
 
   // --- quality scoring -------------------------------------------------
 
+  /** Stopword set used by [[qualityScore]] — public so the q26 oracle SQL
+    * can be generated from the same constant (no drift).
+    */
+  val StopWords: Set[String] =
+    Set("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
   /** Heuristic quality score in [0, 1]: length band + alpha ratio +
     * stopword presence + not-too-much punctuation. Deterministic double
     * math (fixed evaluation order).
@@ -80,8 +86,7 @@ object TextAnalysis {
     val words = tokenize(text)
     val nWords = words.length
     if (nWords == 0) return 0.0
-    val stop = Set("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
-    val nStop = words.count(w => stop.contains(w.toLowerCase(java.util.Locale.ROOT)))
+    val nStop = words.count(w => StopWords.contains(w.toLowerCase(java.util.Locale.ROOT)))
     val meanWordLen = words.map(_.length).sum.toDouble / nWords
     val lenScore = math.min(1.0, nWords / 20.0)
     val alphaScore = alpha.toDouble / len
