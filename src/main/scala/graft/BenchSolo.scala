@@ -54,6 +54,45 @@ object BenchSolo {
         val rs = (1 to 3).map(_ => Bench.annThroughput(spark, n))
         println(s"SOLO kernel:ann:brute ${rs.map(_._1).max}")
         println(s"SOLO kernel:ann:ivf ${rs.map(_._2).max}")
+      case t if t.startsWith("kernel:multires:syncdir:") =>
+        // Ready-file barrier variant (round 5): warm up at full size,
+        // write ready-<pid> into the shared barrier dir, then poll for
+        // the parent-published start file naming the shared start/end
+        // timestamps — the lead is sized by the slowest measured warm-up
+        // across all co-run children instead of a fixed guess, so a
+        // loaded box can no longer make every child miss the window.
+        val parts = t.split(':')
+        val n = parts(3).toLong
+        val dir = new java.io.File(parts(4))
+        Bench.spatialPipelineThroughputMultiRes(spark, n) // warm
+        val pid = ProcessHandle.current().pid()
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, s"ready-$pid").toPath, "")
+        val startFile = new java.io.File(dir, "start")
+        val pollDeadline = System.currentTimeMillis() + 21 * 60 * 1000L
+        while (!startFile.exists() &&
+               System.currentTimeMillis() < pollDeadline) Thread.sleep(50)
+        if (!startFile.exists()) {
+          println(s"SOLO-INVALID $t no-start-file")
+        } else {
+          val Array(startMs, endMs) = java.nio.file.Files
+            .readString(startFile.toPath).trim.split(' ').map(_.toLong)
+          while (System.currentTimeMillis() < startMs) Thread.sleep(10)
+          val t0 = System.nanoTime()
+          var rows = 0L
+          while (System.currentTimeMillis() < endMs) {
+            Bench.spatialPipelineThroughputMultiRes(spark, n)
+            rows += n
+          }
+          if (rows == 0L) {
+            // only reachable if this child reached the barrier AFTER the
+            // parent's 20-min straggler cutoff published the window
+            println(s"SOLO-INVALID $t missed-window")
+          } else {
+            val rps = rows / ((System.nanoTime() - t0) / 1e9)
+            println(s"SOLO $t ${rps}")
+          }
+        }
       case t if t.startsWith("kernel:multires:sync:") =>
         // Synchronized-window variant for the loaded-box (SPECrate-style)
         // pair: warm up, busy-wait until the shared start timestamp, then

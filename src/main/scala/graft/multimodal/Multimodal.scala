@@ -8,9 +8,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * All three modalities decode for REAL with from-scratch codecs, each
   * driver-oracled by a position-weighted checksum: IMAGE via [[Bmp]]
-  * (24-bit DIB, q60) and [[Png]] (8-bit RGB/RGBA, zlib DEFLATE, all five
-  * scanline filters, q64), AUDIO via [[Wav]] (RIFF/PCM16 chunk walk,
-  * q62), VIDEO via [[Y4m]] (YUV4MPEG2 planar 4:2:0 frames, q63). They
+  * (24-bit DIB, q60), [[Png]] (8-bit RGB/RGBA, zlib DEFLATE, all five
+  * scanline filters, q64) and [[Jpeg]] (baseline T.81 — Huffman entropy
+  * decode, IDCT, 4:2:0 upsampling, q66), AUDIO via [[Wav]] (RIFF/PCM16
+  * chunk walk, q62), VIDEO via [[Y4m]] (YUV4MPEG2 planar 4:2:0 frames,
+  * q63). They
   * share one plumbing shape: schema, per-partition batched decoding (one
   * decoder instance per partition — what a JNI/FFmpeg binding would
   * need), and feature columns that downstream ops (dedup, ANN) consume.

@@ -73,18 +73,45 @@ object ScalingBench {
       // of their work on a partly idle box and the 4-instance aggregate
       // exceeded the box's own 32-thread ceiling — an impossible number
       // that flagged the flaw.
+      //
+      // The barrier is a READY-FILE handshake, not a fixed lead (round-5
+      // fix): with a fixed 90 s lead, spinup + one full-size warm-up had
+      // to land inside a guess, and any transient box load made ALL
+      // co-run children miss the window (two round-5 invocations went
+      // INVALID that way). Now each child writes ready-<pid> after its
+      // warm-up, the parent publishes the shared start/deadline only
+      // once every child is ready, and the lead is sized by the slowest
+      // MEASURED warm-up instead of a constant.
       def window(cpus: Int, instances: Int): Double = {
-        // 90 s lead: JVM + session spinup (~20 s) plus one full-size
-        // warm-up run must all land BEFORE the shared start or the child
-        // executes zero timed iterations (it then emits SOLO-INVALID and
-        // is excluded below rather than averaging in as a silent 0).
-        val startMs = System.currentTimeMillis() + 90000L
-        val endMs = startMs + 90000L
-        val target = s"kernel:multires:sync:$n:$startMs:$endMs"
+        val dir = java.nio.file.Files.createTempDirectory("graft-scaling-barrier")
+        val target = s"kernel:multires:syncdir:$n:$dir"
+        val starter = Future {
+          val waitDeadline = System.currentTimeMillis() + 20 * 60 * 1000L
+          def readyCount(): Int = {
+            val fs = dir.toFile.listFiles()
+            if (fs == null) 0 else fs.count(_.getName.startsWith("ready-"))
+          }
+          while (readyCount() < instances &&
+                 System.currentTimeMillis() < waitDeadline) Thread.sleep(200)
+          if (readyCount() < instances)
+            System.err.println(s"[scaling] only ${readyCount()} of " +
+              s"$instances local[$cpus] children reached the barrier in " +
+              "20 min — starting the window anyway; stragglers will " +
+              "record SOLO-INVALID")
+          // small fixed lead so every child observes the start file
+          // strictly before the timestamp it names
+          val startMs = System.currentTimeMillis() + 3000L
+          val endMs = startMs + 90000L
+          val tmp = dir.resolve("start.tmp")
+          java.nio.file.Files.writeString(tmp, s"$startMs $endMs")
+          java.nio.file.Files.move(tmp, dir.resolve("start"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         val rs = Await.result(
           Future.sequence((1 to instances).map(_ => Future(
             Bench.runSolo("/unused", cpus.toString, Seq(target))
               .get(target)))), 60.minutes)
+        Await.result(starter, 1.minute)
         val valid = rs.flatten
         if (valid.size < instances)
           System.err.println(s"[scaling] ${instances - valid.size} of " +
@@ -134,7 +161,11 @@ object ScalingBench {
             s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | — |" +
               " INVALID (co-run children missed the synchronized window) |"
         }
-      }.mkString("\n")
+      // join with "\n|": histRows is interpolated into a stripMargin
+      // template, which strips the first '|' of EVERY line — rows after
+      // the first need a double '|' or the rendered markdown table loses
+      // its leading pipe (the round-5 BENCH.md table corruption)
+      }.mkString("\n|")
     }
 
     val md =
