@@ -86,7 +86,8 @@ object SparkEntry {
     "q63_y4m_decode" -> (GraftQueries.q63Y4mDecode _),
     "q64_png_decode" -> (GraftQueries.q64PngDecode _),
     "q65_resume" -> (GraftQueries.q65Resume _),
-    "q66_jpeg_decode" -> (GraftQueries.q66JpegDecode _)
+    "q66_jpeg_decode" -> (GraftQueries.q66JpegDecode _),
+    "q67_xls_roundtrip" -> (GraftQueries.q67XlsRoundtrip _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -156,6 +157,7 @@ object SparkEntry {
     "q66_jpeg_decode" -> GraftQueries.q66Sql,
     "q20_minhash_lsh" -> GraftQueries.q20Sql,
     "q23_embed_neardup" -> GraftQueries.q23Sql,
+    "q67_xls_roundtrip" -> GraftQueries.q67Sql,
     "q24_ann_cosine" -> GraftQueries.q24Sql,
     "q26_lang_quality" -> GraftQueries.q26Sql
     // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders

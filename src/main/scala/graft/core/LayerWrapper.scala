@@ -107,6 +107,8 @@ object LayerWrapper {
       case Some("json") => reader.json(dataPath)
       case Some("xlsx") | Some("xlsm") | Some("ods") =>
         graft.input.Xlsx.read(spark, dataPath)
+      case Some("xls") =>
+        graft.input.Xls.read(spark, dataPath)
       case _ => reader.parquet(dataPath)
     }
     val meta = metadataPath.map { p =>

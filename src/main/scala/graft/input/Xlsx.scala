@@ -41,7 +41,7 @@ object Xlsx {
     * core date/times, 27-36 locale-calendar variants, 45-47 durations
     * rendered as times, 50-58 more locale variants.
     */
-  private val BuiltinDateFmts: Set[Int] =
+  private[input] val BuiltinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** Custom format code (numFmtId >= 164) is a date format if it uses
@@ -231,7 +231,7 @@ object Xlsx {
     * the data rows: all-long -> LongType, all-numeric -> DoubleType,
     * all-boolean -> BooleanType, else StringType.
     */
-  private def toDataFrame(spark: SparkSession, cells: Seq[Seq[Option[Any]]]): DataFrame = {
+  private[input] def toDataFrame(spark: SparkSession, cells: Seq[Seq[Option[Any]]]): DataFrame = {
     require(cells.nonEmpty, "empty sheet")
     val width = cells.map(_.length).max
     val padded = cells.map(r => r.padTo(width, None))

@@ -2320,4 +2320,42 @@ object GraftQueries {
       |         END)
       |         for p in range(0, w * h * ch) ]) AS BIGINT) AS px_checksum
       |FROM g""".stripMargin
+
+  /** Legacy BIFF8 .xls round-trip (S4 completeness: the reference's
+    * pandas read_excel path also accepts pre-OOXML workbooks,
+    * `dataframe.py:161-190`): write 200 orders rows to a REAL .xls — a
+    * CFB container with FAT-chained workbook stream, RK/MULRK integer
+    * cells, SST+LABELSST strings, NUMBER doubles, date serials under a
+    * custom date FORMAT+XF, BOOLERR booleans — read it back through the
+    * from-scratch CFB+BIFF8 parser and the from_files dispatch, and
+    * return the typed rows. The oracle reads the same rows straight from
+    * parquet, so the whole container/record/SST/date-serial/type-
+    * inference path is driver-oracle-checked end to end.
+    */
+  def q67XlsRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_custkey").cast("long").as("cust_key"), // MULRK run with order_key
+        col("o_orderstatus").as("status"), // SST + LABELSST
+        col("o_totalprice").as("total_price"), // NUMBER (exact IEEE bits)
+        col("o_orderdate").cast("date").as("order_date"), // date serial + XF
+        (col("o_totalprice") > lit(200000.0)).as("big")) // BOOLERR
+      .orderBy(col("order_key"))
+    val root = scratchStore(spark, "q67")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/orders.xls"
+    graft.input.Xls.write(orders, path)
+    graft.core.LayerWrapper.fromFiles(spark, path).data
+  }
+
+  val q67Sql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS order_key,
+      |       CAST(o_custkey AS BIGINT) AS cust_key,
+      |       o_orderstatus AS status,
+      |       o_totalprice AS total_price,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |       o_totalprice > 200000.0 AS big
+      |FROM orders WHERE o_orderkey < 200""".stripMargin
 }
