@@ -333,7 +333,18 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // ActiveProcessorCount = the child's task-thread count: a co-run
+    // local[8] child models one executor JVM of an 8-core cluster
+    // machine, so its JVM-internal pools (G1 GC workers, JIT compiler
+    // threads, ForkJoinPool) must size for 8 CPUs, not the 32-CPU host.
+    // Without this, each of the 4 co-run children spawned ~23 GC threads
+    // (sized for the host), and GC-pause oversubscription collapsed the
+    // loaded-box N side to 1/3 of its real rate (measured: per-instance
+    // 1.33M rows/s vs 3.8M, an impossible-looking 2.37 pair efficiency).
+    // Real cluster managers do the same via cgroup CPU limits, which the
+    // JVM reads as its processor count.
     val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx12g",
+      s"-XX:ActiveProcessorCount=$cpus",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.BenchSolo", sfDir, cpus) ++ targets
     try {

@@ -2206,6 +2206,14 @@ object GraftQueries {
     * DAG's node/edge/shape counts, the last-node id, and an md5 digest
     * of the deterministic DOT rendering. Labels are path-independent so
     * the digest is a constant the oracle can pin.
+    *
+    * What each column proves: the node/edge/SHAPE counts and last-node id
+    * are the reference-semantics check (graph.py builds exactly this DAG
+    * topology for a 3-op pipeline: 1 oval input, one box + parallelogram
+    * pair per op). The dot_md5 column is weaker — it pins OUR dot
+    * rendering against itself (regression freeze, not reference
+    * semantics), since the reference's pydot byte output is not
+    * reproducible offline.
     */
   def q61Lineage(spark: SparkSession, dir: String): DataFrame = {
     val layer = graft.core.LayerWrapper("docs", t(spark, dir, "documents"),

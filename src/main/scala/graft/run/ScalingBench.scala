@@ -156,7 +156,14 @@ object ScalingBench {
         } yield f("efficiency_loaded") match {
           case Some(el) =>
             s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | $el |" +
-              s" ${if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS" else "FAIL"} |"
+              // A SPECrate-style pair cannot be meaningfully superlinear:
+              // efficiency far above 1 means the co-run N side was
+              // undermeasured (e.g. the GC-thread oversubscription found
+              // in round 5), so it is evidence of a broken measurement,
+              // never a pass.
+              s" ${if (el.toDouble > 1.15) "SUSPECT (superlinear - co-run side undermeasured)"
+                else if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS"
+                else "FAIL"} |"
           case None =>
             s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | — |" +
               " INVALID (co-run children missed the synchronized window) |"
