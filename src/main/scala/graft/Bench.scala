@@ -343,7 +343,15 @@ object Bench {
     // 1.33M rows/s vs 3.8M, an impossible-looking 2.37 pair efficiency).
     // Real cluster managers do the same via cgroup CPU limits, which the
     // JVM reads as its processor count.
-    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx12g",
+    // Heap scales with the child's core budget (1.5 GB/core, floor 12 GB
+    // for the established solo-kernel protocol): per-core executor memory
+    // must be CONSTANT across the loaded-box pair or the comparison is
+    // unfair — a flat 12 GB gave the 4 x local[8] side 48 GB aggregate
+    // while the local[32] side ground through the same total work in 12 GB
+    // and spent the sustained window in GC (measured: 6.6M rows/s vs
+    // 19.1M idle-protocol on the same invocation).
+    val heapGb = math.max(12, (cpus.toInt * 3) / 2)
+    val cmd = Seq(java) ++ addOpens ++ Seq(s"-Xmx${heapGb}g",
       s"-XX:ActiveProcessorCount=$cpus",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.BenchSolo", sfDir, cpus) ++ targets

@@ -87,7 +87,8 @@ object SparkEntry {
     "q64_png_decode" -> (GraftQueries.q64PngDecode _),
     "q65_resume" -> (GraftQueries.q65Resume _),
     "q66_jpeg_decode" -> (GraftQueries.q66JpegDecode _),
-    "q67_xls_roundtrip" -> (GraftQueries.q67XlsRoundtrip _)
+    "q67_xls_roundtrip" -> (GraftQueries.q67XlsRoundtrip _),
+    "q68_gpkg_roundtrip" -> (GraftQueries.q68GpkgRoundtrip _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -158,6 +159,7 @@ object SparkEntry {
     "q20_minhash_lsh" -> GraftQueries.q20Sql,
     "q23_embed_neardup" -> GraftQueries.q23Sql,
     "q67_xls_roundtrip" -> GraftQueries.q67Sql,
+    "q68_gpkg_roundtrip" -> GraftQueries.q68Sql,
     "q24_ann_cosine" -> GraftQueries.q24Sql,
     "q26_lang_quality" -> GraftQueries.q26Sql
     // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders

@@ -109,6 +109,8 @@ object LayerWrapper {
         graft.input.Xlsx.read(spark, dataPath)
       case Some("xls") =>
         graft.input.Xls.read(spark, dataPath)
+      case Some("gpkg") =>
+        graft.input.Gpkg.read(spark, dataPath)
       case _ => reader.parquet(dataPath)
     }
     val meta = metadataPath.map { p =>

@@ -2366,4 +2366,44 @@ object GraftQueries {
       |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
       |       o_totalprice > 200000.0 AS big
       |FROM orders WHERE o_orderkey < 200""".stripMargin
+
+  /** GeoPackage round-trip (S5: the reference's `.gpkg` dispatch goes
+    * through read_gpkg, `dataframe.py:194-195`): write 150 orders-derived
+    * point features to a REAL GeoPackage — a SQLite container built by
+    * the fixture writer (sqlite_master catalog, gpkg_contents /
+    * gpkg_geometry_columns / gpkg_spatial_ref_sys, table b-tree leaves,
+    * GPKG geometry blobs wrapping WKB) — read it back through the
+    * from-scratch SQLite walker via the from_files dispatch, and emit
+    * each feature's attributes plus its geometry as WKT. Closed-form
+    * integer coordinates make the WKT exactly reconstructible in SQL, so
+    * the whole container/b-tree/record/geometry-blob path is
+    * driver-oracle-checked end to end. (The reader is additionally
+    * pinned against bytes written by the GENUINE SQLite library in
+    * GpkgSpec — real page layout, interior pages, overflow chains.)
+    */
+  def q68GpkgRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val feats = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 150)
+      .select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_orderstatus").as("status"),
+        (col("o_orderkey") * lit(37L) % lit(700000L)).cast("double").as("x"),
+        (col("o_orderkey") * lit(91L) % lit(1200000L)).cast("double").as("y"))
+      .orderBy(col("order_key"))
+    val root = scratchStore(spark, "q68")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/orders.gpkg"
+    graft.input.Gpkg.write(feats, path)
+    graft.core.LayerWrapper.fromFiles(spark, path).data
+      .select(col("fid"), col("order_key"), col("status"),
+        graft.geo.GeoExpressions.st_astext(col("geom")).as("wkt"))
+  }
+
+  val q68Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS fid,
+      |       CAST(o_orderkey AS BIGINT) AS order_key,
+      |       o_orderstatus AS status,
+      |       'POINT (' || CAST(o_orderkey * 37 % 700000 AS BIGINT)
+      |         || ' ' || CAST(o_orderkey * 91 % 1200000 AS BIGINT) || ')' AS wkt
+      |FROM orders WHERE o_orderkey < 150""".stripMargin
 }
