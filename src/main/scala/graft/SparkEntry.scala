@@ -88,7 +88,9 @@ object SparkEntry {
     "q65_resume" -> (GraftQueries.q65Resume _),
     "q66_jpeg_decode" -> (GraftQueries.q66JpegDecode _),
     "q67_xls_roundtrip" -> (GraftQueries.q67XlsRoundtrip _),
-    "q68_gpkg_roundtrip" -> (GraftQueries.q68GpkgRoundtrip _)
+    "q68_gpkg_roundtrip" -> (GraftQueries.q68GpkgRoundtrip _),
+    "q69_shp_roundtrip" -> (GraftQueries.q69ShpRoundtrip _),
+    "q70_geojson_roundtrip" -> (GraftQueries.q70GeoJsonRoundtrip _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -160,6 +162,8 @@ object SparkEntry {
     "q23_embed_neardup" -> GraftQueries.q23Sql,
     "q67_xls_roundtrip" -> GraftQueries.q67Sql,
     "q68_gpkg_roundtrip" -> GraftQueries.q68Sql,
+    "q69_shp_roundtrip" -> GraftQueries.q69Sql,
+    "q70_geojson_roundtrip" -> GraftQueries.q70Sql,
     "q24_ann_cosine" -> GraftQueries.q24Sql,
     "q26_lang_quality" -> GraftQueries.q26Sql
     // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders

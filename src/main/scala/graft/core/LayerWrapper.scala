@@ -111,6 +111,10 @@ object LayerWrapper {
         graft.input.Xls.read(spark, dataPath)
       case Some("gpkg") =>
         graft.input.Gpkg.read(spark, dataPath)
+      case Some("shp") =>
+        graft.input.Shapefile.read(spark, dataPath)
+      case Some("geojson") =>
+        graft.input.GeoJson.read(spark, dataPath)
       case _ => reader.parquet(dataPath)
     }
     val meta = metadataPath.map { p =>

@@ -2406,4 +2406,75 @@ object GraftQueries {
       |       'POINT (' || CAST(o_orderkey * 37 % 700000 AS BIGINT)
       |         || ' ' || CAST(o_orderkey * 91 % 1200000 AS BIGINT) || ')' AS wkt
       |FROM orders WHERE o_orderkey < 150""".stripMargin
+
+  /** ESRI Shapefile round-trip (S6: the reference's generic vector path,
+    * whose E2E matrix includes `.shp` — `tests/test_dataframe/
+    * test_pipeline.py:38+`): write 150 orders-derived point features
+    * through the from-scratch `.shp`/`.shx`/`.dbf` writer, read them
+    * back via the from_files dispatch, and emit every dbf-typed
+    * attribute (N-integer -> long, N-decimal -> double, L -> boolean,
+    * C -> string) plus the geometry as WKT. Quarter-valued doubles are
+    * exact in both the dbf's fixed-decimal ASCII cells and SQL, so the
+    * whole mixed-endian record path is driver-oracled end to end.
+    */
+  def q69ShpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val feats = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 150)
+      .select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_orderstatus").as("status"),
+        ((col("o_orderkey") * lit(13L) % lit(1000L)).cast("double") / lit(4.0)).as("score"),
+        (col("o_orderkey") % lit(3L) === lit(0L)).as("flag"),
+        (col("o_orderkey") * lit(37L) % lit(700000L)).cast("double").as("x"),
+        (col("o_orderkey") * lit(91L) % lit(1200000L)).cast("double").as("y"))
+      .orderBy(col("order_key"))
+    val root = scratchStore(spark, "q69")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/orders.shp"
+    graft.input.Shapefile.write(feats, path)
+    graft.core.LayerWrapper.fromFiles(spark, path).data
+      .select(col("fid"), col("order_key"), col("status"), col("score"),
+        col("flag"),
+        graft.geo.GeoExpressions.st_astext(col("geom")).as("wkt"))
+  }
+
+  val q69Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS fid,
+      |       CAST(o_orderkey AS BIGINT) AS order_key,
+      |       o_orderstatus AS status,
+      |       CAST(o_orderkey * 13 % 1000 AS DOUBLE) / 4.0 AS score,
+      |       (o_orderkey % 3 = 0) AS flag,
+      |       'POINT (' || CAST(o_orderkey * 37 % 700000 AS BIGINT)
+      |         || ' ' || CAST(o_orderkey * 91 % 1200000 AS BIGINT) || ')' AS wkt
+      |FROM orders WHERE o_orderkey < 150""".stripMargin
+
+  /** GeoJSON round-trip (S6: `.geojson` in the reference's E2E vector
+    * matrix): write 150 orders-derived point Features through the
+    * fixture writer, read them back through the from-scratch RFC 7946
+    * parser via the from_files dispatch, and emit the typed properties
+    * (integral JSON number -> long, fractional -> double, boolean,
+    * string) plus the geometry as WKT.
+    */
+  def q70GeoJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val feats = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 150)
+      .select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_orderstatus").as("status"),
+        ((col("o_orderkey") * lit(13L) % lit(1000L)).cast("double") / lit(4.0)).as("score"),
+        (col("o_orderkey") % lit(3L) === lit(0L)).as("flag"),
+        (col("o_orderkey") * lit(37L) % lit(700000L)).cast("double").as("x"),
+        (col("o_orderkey") * lit(91L) % lit(1200000L)).cast("double").as("y"))
+      .orderBy(col("order_key"))
+    val root = scratchStore(spark, "q70")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/orders.geojson"
+    graft.input.GeoJson.write(feats, path)
+    graft.core.LayerWrapper.fromFiles(spark, path).data
+      .select(col("fid"), col("order_key"), col("status"), col("score"),
+        col("flag"),
+        graft.geo.GeoExpressions.st_astext(col("geom")).as("wkt"))
+  }
+
+  val q70Sql: String = q69Sql
 }
