@@ -90,7 +90,8 @@ object SparkEntry {
     "q67_xls_roundtrip" -> (GraftQueries.q67XlsRoundtrip _),
     "q68_gpkg_roundtrip" -> (GraftQueries.q68GpkgRoundtrip _),
     "q69_shp_roundtrip" -> (GraftQueries.q69ShpRoundtrip _),
-    "q70_geojson_roundtrip" -> (GraftQueries.q70GeoJsonRoundtrip _)
+    "q70_geojson_roundtrip" -> (GraftQueries.q70GeoJsonRoundtrip _),
+    "q71_tiff_raster" -> (GraftQueries.q71TiffRaster _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -164,6 +165,7 @@ object SparkEntry {
     "q68_gpkg_roundtrip" -> GraftQueries.q68Sql,
     "q69_shp_roundtrip" -> GraftQueries.q69Sql,
     "q70_geojson_roundtrip" -> GraftQueries.q70Sql,
+    "q71_tiff_raster" -> GraftQueries.q71Sql,
     "q24_ann_cosine" -> GraftQueries.q24Sql,
     "q26_lang_quality" -> GraftQueries.q26Sql
     // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders

@@ -2477,4 +2477,39 @@ object GraftQueries {
   }
 
   val q70Sql: String = q69Sql
+
+  /** GeoTIFF raster scan (S7: the reference's rasterio `.tif` dispatch,
+    * `_raster.py:444-453`, exercised on its "tiny tif" goldens): write a
+    * deterministic DEFLATE-compressed uint8 GeoTIFF (v = (31r + 7c) mod
+    * 251, nodata 0), decode it through the from-scratch TIFF reader
+    * distributed one-task-per-strip, and aggregate per raster row —
+    * count, sum and column extent of the non-nodata cells. The closed
+    * form replicates exactly in SQL, so strip layout, DEFLATE decode and
+    * nodata masking are driver-oracled end to end.
+    */
+  def q71TiffRaster(spark: SparkSession, dir: String): DataFrame = {
+    val (w, h) = (200, 120)
+    val data = Array.tabulate(h * w)(i =>
+      (((i / w) * 31 + (i % w) * 7) % 251).toDouble)
+    val root = scratchStore(spark, "q71")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val path = s"$root/grid.tif"
+    graft.raster.Tiff.write(path, w, h, data, "uint8",
+      cellSize = 10.0, deflate = true, rowsPerStrip = 16)
+    graft.raster.Tiff.cells(spark, path, nodata = 0.0)
+      .groupBy(col("row"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("long")).as("sum_v"),
+        min(col("col")).as("min_c"),
+        max(col("col")).as("max_c"))
+      .orderBy(col("row"))
+  }
+
+  val q71Sql: String =
+    """SELECT r AS row, COUNT(*) AS cnt, SUM(v) AS sum_v,
+      |       MIN(c) AS min_c, MAX(c) AS max_c
+      |FROM (SELECT rr.range AS r, cc.range AS c,
+      |             (rr.range * 31 + cc.range * 7) % 251 AS v
+      |      FROM range(120) rr, range(200) cc)
+      |WHERE v <> 0 GROUP BY r ORDER BY r""".stripMargin
 }
