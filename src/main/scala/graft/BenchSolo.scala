@@ -64,7 +64,11 @@ object BenchSolo {
         val parts = t.split(':')
         val n = parts(3).toLong
         val dir = new java.io.File(parts(4))
-        Bench.spatialPipelineThroughputMultiRes(spark, n) // warm
+        // two full-size warms: fresh-JVM JIT-ramp parity with the solo
+        // kernel protocol (one warm left the first timed iteration
+        // carrying C2 compilation, measured on the dedup solo anomaly)
+        Bench.spatialPipelineThroughputMultiRes(spark, n)
+        Bench.spatialPipelineThroughputMultiRes(spark, n)
         val pid = ProcessHandle.current().pid()
         java.nio.file.Files.writeString(
           new java.io.File(dir, s"ready-$pid").toPath, "")

@@ -63,6 +63,9 @@ object ScalingBench {
     // N level is one of FOUR CONCURRENT local[8] child JVMs (box fully
     // loaded, per-thread resources equal to the 32-thread run); the 4N
     // level is one local[32] child JVM under the same fresh-JVM protocol.
+    var loadedCycles: Seq[(Double, Double)] = Seq.empty
+    var cpuProbes: Seq[Double] = Seq.empty
+    var hostContended: Boolean = false
     val (rate8, rate32) = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
@@ -120,9 +123,42 @@ object ScalingBench {
             "the box was not fully loaded, treat this pair as suspect")
         if (valid.isEmpty) 0.0 else valid.sum / valid.size
       }
-      val r32 = window(32, 1)
-      val r8 = window(8, 4)
-      (r8, r32)
+      // The host this sandbox shares swings MINUTES-scale: the identical
+      // isolated 32-window read 15.5M rows/s and 5.9M rows/s 35 minutes
+      // apart with the box idle both times (round-5 measurement). A
+      // single window per side, sides ~6 min apart, therefore mixes two
+      // host states into one ratio and can fabricate both failure and
+      // success. Protocol: THREE interleaved cycles of [32-window,
+      // 8-co-run-window] back-to-back (sides as close in time as the
+      // windows allow), pick the cycle the HOST was healthiest for by
+      // absolute box throughput (4*r8 + r32 — selecting on absolute
+      // health is unbiased for the ratio, unlike selecting on the ratio
+      // itself), and record every cycle plus a single-thread CPU probe
+      // around each so a contended invocation is visible in the history.
+      def cpuProbe(): Double = {
+        var x = 12345L; var i = 0L; val n = 400000000L
+        val t0 = System.nanoTime()
+        while (i < n) { x = graft.input.WebTable.splitmix64(x); i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (x == 42L) System.err.print("") // defeat dead-code elimination
+        n / dt / 1e6
+      }
+      val probe0 = cpuProbe()
+      val cycles = (1 to 3).map { _ =>
+        val r32 = window(32, 1)
+        val r8 = window(8, 4)
+        (r8, r32, cpuProbe())
+      }
+      val probes = probe0 +: cycles.map(_._3)
+      val contended = probes.max > probes.min * 1.25
+      val valid = cycles.filter(c => c._1 > 0.0 && c._2 > 0.0)
+      val (rate8, rate32) =
+        if (valid.isEmpty) (0.0, 0.0)
+        else { val b = valid.maxBy(c => 4 * c._1 + c._2); (b._1, b._2) }
+      loadedCycles = cycles.map(c => (c._1, c._2))
+      cpuProbes = probes
+      hostContended = contended
+      (rate8, rate32)
     }
     // A side where EVERY child missed the synchronized window measures
     // nothing: the loaded pair of this invocation is INVALID, not 0 or
@@ -136,8 +172,12 @@ object ScalingBench {
     // loaded-box PASS had n=1 (only the third invocation used
     // synchronized windows), and a single-sample gate is not a gate.
     val effLoadedJson = if (loadedValid) f"$effLoaded%.3f" else "null"
+    val cyclesJson = loadedCycles.map { case (r8, r32) =>
+      s"[${r8.round},${r32.round}]"
+    }.mkString("[", ",", "]")
+    val probesJson = cpuProbes.map(p => f"$p%.1f").mkString("[", ",", "]")
     val jsonLine =
-      s"""{"ts_ms":${System.currentTimeMillis()},"rows":$n,"rps4":${rps4.round},"rps16":${rps16.round},"rps8":${rps8.round},"rps32":${rps32.round},"efficiency_4_16":${f"$eff416%.3f"},"efficiency_8_32":${f"$eff832%.3f"},"loaded_rate8":${rate8.round},"loaded_rate32":${rate32.round},"efficiency_loaded":$effLoadedJson}"""
+      s"""{"ts_ms":${System.currentTimeMillis()},"rows":$n,"rps4":${rps4.round},"rps16":${rps16.round},"rps8":${rps8.round},"rps32":${rps32.round},"efficiency_4_16":${f"$eff416%.3f"},"efficiency_8_32":${f"$eff832%.3f"},"loaded_rate8":${rate8.round},"loaded_rate32":${rate32.round},"efficiency_loaded":$effLoadedJson,"loaded_cycles":$cyclesJson,"cpu_probes_mops":$probesJson,"host_contended":$hostContended}"""
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALING_HISTORY",
         "/root/repo/SCALING_HISTORY.jsonl"))
@@ -155,7 +195,11 @@ object ScalingBench {
           rows <- f("rows")
         } yield f("efficiency_loaded") match {
           case Some(el) =>
-            s"| ${(rows.toDouble / 1e6).round}M | $e416 | $e832 | $el |" +
+            val mark =
+              if (l.contains(""""note":""")) " †" // annotated in the JSONL
+              else if (l.contains(""""host_contended":true""")) " ‡"
+              else ""
+            s"| ${(rows.toDouble / 1e6).round}M$mark | $e416 | $e832 | $el |" +
               // A SPECrate-style pair cannot be meaningfully superlinear:
               // efficiency far above 1 means the co-run N side was
               // undermeasured (e.g. the GC-thread oversubscription found
@@ -214,6 +258,19 @@ object ScalingBench {
          || rows | eff 4->16 (idle box) | eff 8->32 (idle box) | eff loaded-box | gate |
          ||---|---|---|---|---|
          |$histRows
+         |
+         |† row carries a root-cause `note` in SCALING_HISTORY.jsonl
+         |(e.g. builder workload overlapped the measurement window).
+         |‡ the invocation's own single-thread CPU probe swung >25%
+         |between cycles — the shared host was changing state under the
+         |measurement; the per-cycle records in the JSONL show which
+         |cycle the reported pair came from. The host swings are real and
+         |large: the identical isolated 32-window read 15.5M and then
+         |5.9M rows/s 35 minutes apart with the box idle both times,
+         |which is why the loaded pair is measured as three interleaved
+         |back-to-back cycles with the healthiest-host cycle kept
+         |(selected on ABSOLUTE box throughput, which is unbiased for the
+         |ratio).
          |
          |Round-4 protocol finding (wave quantization): Spark's default
          |scan-split sizing targets ~defaultParallelism partitions, so
