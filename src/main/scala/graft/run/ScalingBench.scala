@@ -85,7 +85,7 @@ object ScalingBench {
       // warm-up, the parent publishes the shared start/deadline only
       // once every child is ready, and the lead is sized by the slowest
       // MEASURED warm-up instead of a constant.
-      def window(cpus: Int, instances: Int): Double = {
+      def window(cpus: Int, instances: Int): (Double, Seq[Double]) = {
         val dir = java.nio.file.Files.createTempDirectory("graft-scaling-barrier")
         val target = s"kernel:multires:syncdir:$n:$dir"
         val starter = Future {
@@ -110,18 +110,21 @@ object ScalingBench {
           java.nio.file.Files.move(tmp, dir.resolve("start"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
-        val rs = Await.result(
+        val maps = Await.result(
           Future.sequence((1 to instances).map(_ => Future(
-            Bench.runSolo("/unused", cpus.toString, Seq(target))
-              .get(target)))), 60.minutes)
+            Bench.runSolo("/unused", cpus.toString, Seq(target))))),
+          60.minutes)
         Await.result(starter, 1.minute)
-        val valid = rs.flatten
+        val valid = maps.flatMap(_.get(target))
         if (valid.size < instances)
           System.err.println(s"[scaling] ${instances - valid.size} of " +
             s"$instances local[$cpus] children missed the synchronized " +
             "window (SOLO-INVALID) — excluded from the co-run average; " +
             "the box was not fully loaded, treat this pair as suspect")
-        if (valid.isEmpty) 0.0 else valid.sum / valid.size
+        val probes = maps.flatMap(_.collect {
+          case (k, v) if k.startsWith("probe-") => v
+        })
+        (if (valid.isEmpty) 0.0 else valid.sum / valid.size, probes)
       }
       // The host this sandbox shares swings MINUTES-scale: the identical
       // isolated 32-window read 15.5M rows/s and 5.9M rows/s 35 minutes
@@ -135,29 +138,35 @@ object ScalingBench {
       // health is unbiased for the ratio, unlike selecting on the ratio
       // itself), and record every cycle plus a single-thread CPU probe
       // around each so a contended invocation is visible in the history.
-      def cpuProbe(): Double = {
-        var x = 12345L; var i = 0L; val n = 400000000L
-        val t0 = System.nanoTime()
-        while (i < n) { x = graft.input.WebTable.splitmix64(x); i += 1 }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (x == 42L) System.err.print("") // defeat dead-code elimination
-        n / dt / 1e6
-      }
-      val probe0 = cpuProbe()
       val cycles = (1 to 3).map { _ =>
-        val r32 = window(32, 1)
-        val r8 = window(8, 4)
-        (r8, r32, cpuProbe())
+        val (r32, p32) = window(32, 1)
+        val (r8, p8) = window(8, 4)
+        // A cycle is ADMISSIBLE only if every child-side probe (run
+        // IMMEDIATELY before and after each timed window, inside the
+        // child) sits in one 15% band — i.e. the 32-side and the 8-side
+        // demonstrably measured the same host state. Round-5 evidence
+        // for the band: an inadmissible invocation recorded per-cycle
+        // pairs of (1.35M, 1.84M), (5.65M, 1.42M), (3.49M, 17.45M) —
+        // three different machines, none of them a measurement of the
+        // ENGINE's scaling.
+        val probes = p32 ++ p8
+        val admissible = r32 > 0.0 && r8 > 0.0 && probes.nonEmpty &&
+          probes.max <= probes.min * 1.15
+        (r8, r32, probes, admissible)
       }
-      val probes = probe0 +: cycles.map(_._3)
-      val contended = probes.max > probes.min * 1.25
-      val valid = cycles.filter(c => c._1 > 0.0 && c._2 > 0.0)
+      val admissibleCycles = cycles.filter(_._4)
+      // healthiest admissible cycle by ABSOLUTE box throughput (unbiased
+      // for the ratio); if none is admissible the pair is recorded but
+      // flagged host_contended so the gate renderer can exclude it
+      val pool =
+        if (admissibleCycles.nonEmpty) admissibleCycles
+        else cycles.filter(c => c._1 > 0.0 && c._2 > 0.0)
       val (rate8, rate32) =
-        if (valid.isEmpty) (0.0, 0.0)
-        else { val b = valid.maxBy(c => 4 * c._1 + c._2); (b._1, b._2) }
+        if (pool.isEmpty) (0.0, 0.0)
+        else { val b = pool.maxBy(c => 4 * c._1 + c._2); (b._1, b._2) }
       loadedCycles = cycles.map(c => (c._1, c._2))
-      cpuProbes = probes
-      hostContended = contended
+      cpuProbes = cycles.flatMap(_._3)
+      hostContended = admissibleCycles.isEmpty
       (rate8, rate32)
     }
     // A side where EVERY child missed the synchronized window measures
