@@ -138,22 +138,36 @@ object ScalingBench {
       // health is unbiased for the ratio, unlike selecting on the ratio
       // itself), and record every cycle plus a single-thread CPU probe
       // around each so a contended invocation is visible in the history.
-      val cycles = (1 to 3).map { _ =>
+      val maxCycles = sys.env.getOrElse("SPARK_GRAFT_LOADED_CYCLES", "3").toInt
+      val cyclesBuf = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Seq[Double], Boolean)]
+      var done = false
+      while (cyclesBuf.length < maxCycles && !done) {
         val (r32, p32) = window(32, 1)
         val (r8, p8) = window(8, 4)
-        // A cycle is ADMISSIBLE only if every child-side probe (run
+        // A cycle is ADMISSIBLE only if (a) every child-side probe (run
         // IMMEDIATELY before and after each timed window, inside the
-        // child) sits in one 15% band — i.e. the 32-side and the 8-side
-        // demonstrably measured the same host state. Round-5 evidence
-        // for the band: an inadmissible invocation recorded per-cycle
-        // pairs of (1.35M, 1.84M), (5.65M, 1.42M), (3.49M, 17.45M) —
-        // three different machines, none of them a measurement of the
-        // ENGINE's scaling.
+        // child) sits in one 15% band — the two cluster sizes
+        // demonstrably measured the same host state — AND (b) both
+        // sides pass sanity bounds against THIS invocation's own idle
+        // measurement: the loaded 32-side is the same whole-box job as
+        // idle rps32, so it cannot honestly sit far below it, and the
+        // co-run aggregate 4*r8 must land in the SPECrate-plausible
+        // band around rps32 (a starved 8-side would otherwise fabricate
+        // a high ratio, and a superlinear aggregate means the window
+        // undermeasured somewhere). Round-5 forensics that forced (b):
+        // a cycle with all-healthy probes still recorded r32 = 2.7M vs
+        // idle 20.2M — a mid-window host dip the 1-second point samples
+        // straddled without seeing.
         val probes = p32 ++ p8
-        val admissible = r32 > 0.0 && r8 > 0.0 && probes.nonEmpty &&
-          probes.max <= probes.min * 1.15
-        (r8, r32, probes, admissible)
+        val probesOk = probes.nonEmpty && probes.max <= probes.min * 1.15
+        val boundsOk = r32 >= 0.7 * rps32 &&
+          4 * r8 >= 0.6 * rps32 && 4 * r8 <= 1.45 * rps32
+        val admissible = r32 > 0.0 && r8 > 0.0 && probesOk && boundsOk
+        cyclesBuf += ((r8, r32, probes, admissible))
+        if (admissible) done = true // first same-host cycle settles the pair
       }
+      val cycles = cyclesBuf.toSeq
       val admissibleCycles = cycles.filter(_._4)
       // healthiest admissible cycle by ABSOLUTE box throughput (unbiased
       // for the ratio); if none is admissible the pair is recorded but
