@@ -112,20 +112,36 @@ object Dedup {
     * path ([[minhash_sig]]) remains the throughput kernel; this twin
     * exists so the driver can value-check the full LSH semantics.
     */
-  def md5MinhashSig(text: Column, numHashes: Int): Column = {
-    val toks = regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), lit(0))
+  /** One regex pass per row. MUST live in its own projection: splicing
+    * this tree inline into the shingle lambda would copy it into every
+    * `element_at` reference and re-run the full-text regex 3·(n_tokens-2)
+    * times per row — measured as a single bench task burning 23 CPU-
+    * minutes on one sf0.1 document batch. As a separate projected column
+    * the shingle lambda's references are cheap BoundReferences, and
+    * CollapseProject refuses to merge a multiply-referenced non-cheap
+    * alias, so the split is stable under the optimizer.
+    */
+  private def md5Tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), lit(0))
+
+  /** Distinct md5-derived shingle hashes from a pre-projected tokens
+    * column; same own-projection rule as [[md5Tokens]] — the signature
+    * stage references this array once per hash function.
+    */
+  private def md5Bases(toks: Column): Column = {
     val shingles = when(size(toks) >= 3,
         transform(sequence(lit(0), size(toks) - 3), i =>
           concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
             element_at(toks, i + 3))))
       .otherwise(array().cast("array<string>"))
-    val bases = array_distinct(transform(shingles, s =>
+    array_distinct(transform(shingles, s =>
       conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")))
+  }
+
+  def md5MinhashSig(bases: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), k =>
       array_min(transform(bases, h =>
         ((lit(2L) * k + 1L) * h + k * k + 1L) % 2147483647L)))
-  }
 
   /** LSH candidate pairs over [[md5MinhashSig]] with EXACT band keys:
     * the bucket join key is the band's raw signature slice (4 longs),
@@ -140,12 +156,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(1000000 % numHashes == 0, "numHashes must divide 10^6 for exact ppm")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("__id__"),
-      md5MinhashSig(col(textCol), numHashes).as("__sig__"))
+    // one projection per stage: regex once/row, md5s once/shingle, then
+    // the 64-way signature over cheap array references (see md5Tokens)
+    val sigs = df
+      .select(col(idCol).as("__id__"), md5Tokens(col(textCol)).as("__toks__"))
+      .select(col("__id__"), md5Bases(col("__toks__")).as("__bases__"))
+      .select(col("__id__"),
+        md5MinhashSig(col("__bases__"), numHashes).as("__sig__"))
+    // evictable persist (the Categorize pattern): both sides of the
+    // bucket self-join read `banded`, and without a materialization the
+    // regex+md5 signature pipeline runs twice end to end
     val banded = sigs.select(col("__id__"), col("__sig__"),
       posexplode(array((0 until bands).map(b =>
         slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("__band__", "__bkey__")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
       col("__band__"), col("__bkey__"))
     val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
