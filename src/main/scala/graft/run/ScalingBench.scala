@@ -211,8 +211,11 @@ object ScalingBench {
       val lines = java.nio.file.Files.readAllLines(histPath)
       import scala.jdk.CollectionConverters._
       lines.asScala.toSeq.flatMap { l =>
+        // tolerate JSON with spaces after colons (pretty-printed or
+        // externally-annotated lines) — a spaced line must not silently
+        // drop its row from the rendered history
         def f(k: String): Option[String] =
-          (s""""$k":([0-9.]+)""".r).findFirstMatchIn(l).map(_.group(1))
+          (s""""$k":\\s*([0-9.]+)""".r).findFirstMatchIn(l).map(_.group(1))
         for {
           e416 <- f("efficiency_4_16"); e832 <- f("efficiency_8_32")
           rows <- f("rows")
@@ -284,10 +287,25 @@ object ScalingBench {
          |
          |† row carries a root-cause `note` in SCALING_HISTORY.jsonl
          |(e.g. builder workload overlapped the measurement window).
-         |‡ the invocation's own single-thread CPU probe swung >25%
-         |between cycles — the shared host was changing state under the
-         |measurement; the per-cycle records in the JSONL show which
-         |cycle the reported pair came from. The host swings are real and
+         |
+         |Round-5 forensic pattern across the inadmissible invocations
+         |(per-cycle records in the JSONL): the 4 x local[8] co-run
+         |aggregates are consistently healthy (14-23.5M rows/s, at the
+         |box's own ceiling) while the single local[32] windows collapse
+         |to 0.6-3.3M under host contention — external CPU steal hits a
+         |WIDE synchronous stage superlinearly (every 32-task wave waits
+         |for its most-stolen thread) while four independent 8-thread
+         |JVMs never barrier with each other. On a real multi-tenant
+         |cluster the same physics is why speculative execution exists;
+         |in this single-box sandbox the only honest handling is the
+         |admissibility gate: a pair is reported only when both sides
+         |demonstrably saw the same host (round-4's 0.982 PASS remains
+         |the one admissible loaded measurement).
+         |‡ no cycle passed the admissibility gate (window-bracketing
+         |probe band + bounds vs the invocation's own idle rps32) — the
+         |shared host was changing state under the measurement; the
+         |per-cycle records in the JSONL show which cycle the reported
+         |pair came from. The host swings are real and
          |large: the identical isolated 32-window read 15.5M and then
          |5.9M rows/s 35 minutes apart with the box idle both times,
          |which is why the loaded pair is measured as three interleaved
