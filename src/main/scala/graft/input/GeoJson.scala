@@ -185,6 +185,17 @@ object GeoJson {
   // ------------------------------------------------------------------
 
   def read(spark: SparkSession, path: String): DataFrame = {
+    val (schema, rows) = parseRows(path)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
+      schema)
+  }
+
+  /** Session-free parse (runs on executors under
+    * [[VectorFiles.read]]'s one-task-per-file distribution).
+    */
+  private[graft] def parseRows(path: String): (StructType, Seq[Row]) = {
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     val root = parseJson(text) match {
       case o: JObj => o
@@ -245,10 +256,7 @@ object GeoJson {
       Row.fromSeq((idx + 1L) +: vals :+
         (if (g == null) null else graft.geo.Wkb.write(g)))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows,
-        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
-      schema)
+    (schema, rows)
   }
 
   // ------------------------------------------------------------------

@@ -290,6 +290,18 @@ object Gpkg {
     */
   def read(spark: SparkSession, path: String,
       layer: Option[String] = None): DataFrame = {
+    val (schema, rows) = parseRows(path, layer)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
+      schema)
+  }
+
+  /** Session-free parse (runs on executors under
+    * [[VectorFiles.read]]'s one-task-per-file distribution).
+    */
+  private[graft] def parseRows(path: String,
+      layer: Option[String] = None): (StructType, Seq[Row]) = {
     val db = new SqliteDb(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val tables = db.tables()
@@ -326,10 +338,7 @@ object Gpkg {
       }
       rows += Row.fromSeq(vals)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq,
-        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
-      schema)
+    (schema, rows.toSeq)
   }
 
   // ------------------------------------------------------------------

@@ -170,6 +170,17 @@ object Shapefile {
     * the extensionless base).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val (schema, rows) = parseRows(path)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
+      schema)
+  }
+
+  /** Session-free parse (runs on executors under
+    * [[VectorFiles.read]]'s one-task-per-file distribution).
+    */
+  private[graft] def parseRows(path: String): (StructType, Seq[Row]) = {
     val base = if (path.toLowerCase.endsWith(".shp")) path.dropRight(4) else path
     val shpBytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(base + ".shp"))
@@ -189,10 +200,7 @@ object Shapefile {
       Row.fromSeq(recNo.toLong +: a :+
         (if (g == null) null else graft.geo.Wkb.write(g)))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows,
-        math.max(1, math.min(rows.size, spark.sparkContext.defaultParallelism))),
-      schema)
+    (schema, rows)
   }
 
   // ------------------------------------------------------------------

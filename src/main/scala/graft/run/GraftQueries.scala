@@ -2512,4 +2512,48 @@ object GraftQueries {
       |             (rr.range * 31 + cc.range * 7) % 251 AS v
       |      FROM range(120) rr, range(200) cc)
       |WHERE v <> 0 GROUP BY r ORDER BY r""".stripMargin
+
+  /** Parallel multi-file vector ingest (S6: the reference's
+    * `read_vector_files` reads a DIRECTORY of vector files as parallel
+    * chunked reads into one DataFrame, `dataframe.py:196-197`): shard
+    * 300 orders-derived point features across THREE files in three
+    * different from-scratch formats (.shp, .geojson, .gpkg — one shard
+    * each), read the directory back through [[graft.input.VectorFiles]]
+    * (driver touches the file list + one schema file; every container
+    * parses on an executor, one task per file), and emit the schema-
+    * aligned union. Per-file record numbering (fid), typed attributes,
+    * and WKT replicate exactly in SQL, so the distributed union of all
+    * three format codecs is driver-oracled in one row set.
+    */
+  def q72VectorFiles(spark: SparkSession, dir: String): DataFrame = {
+    val feats = t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey").cast("long").as("order_key"),
+        col("o_orderstatus").as("status"),
+        ((col("o_orderkey") * lit(13L) % lit(1000L)).cast("double") / lit(4.0)).as("score"),
+        (col("o_orderkey") * lit(37L) % lit(700000L)).cast("double").as("x"),
+        (col("o_orderkey") * lit(91L) % lit(1200000L)).cast("double").as("y"))
+    val root = scratchStore(spark, "q72")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    def shard(i: Int) =
+      feats.filter(col("order_key") % lit(3L) === lit(i.toLong))
+        .orderBy(col("order_key"))
+    graft.input.Shapefile.write(shard(0), s"$root/orders-a.shp")
+    graft.input.GeoJson.write(shard(1), s"$root/orders-b.geojson")
+    graft.input.Gpkg.write(shard(2), s"$root/orders-c.gpkg")
+    graft.input.VectorFiles.read(spark, root)
+      .select(col("fid"), col("order_key"), col("status"), col("score"),
+        graft.geo.GeoExpressions.st_astext(col("geom")).as("wkt"))
+  }
+
+  val q72Sql: String =
+    """SELECT CAST(row_number() OVER (PARTITION BY o_orderkey % 3
+      |                               ORDER BY o_orderkey) AS BIGINT) AS fid,
+      |       CAST(o_orderkey AS BIGINT) AS order_key,
+      |       o_orderstatus AS status,
+      |       CAST(o_orderkey * 13 % 1000 AS DOUBLE) / 4.0 AS score,
+      |       'POINT (' || CAST(o_orderkey * 37 % 700000 AS BIGINT)
+      |         || ' ' || CAST(o_orderkey * 91 % 1200000 AS BIGINT) || ')' AS wkt
+      |FROM orders WHERE o_orderkey < 300""".stripMargin
 }
