@@ -84,7 +84,6 @@ object BenchSolo {
           m / ((System.nanoTime() - t0) / 1e9) / 1e6
         }
         val pid = ProcessHandle.current().pid()
-        val preProbe = hostProbe()
         java.nio.file.Files.writeString(
           new java.io.File(dir, s"ready-$pid").toPath, "")
         val startFile = new java.io.File(dir, "start")
@@ -96,6 +95,14 @@ object BenchSolo {
         } else {
           val Array(startMs, endMs) = java.nio.file.Files
             .readString(startFile.toPath).trim.split(' ').map(_.toLong)
+          // pre-probe taken AFTER the start window is published, i.e.
+          // actually bracketing the timed window — measured before the
+          // ready file it could precede the barrier wait by many minutes,
+          // letting a host-state change slip through the 15% probe band.
+          // (The parent's lead time is sized to absorb a ~1 s probe; if it
+          // overruns startMs the child just starts late inside the window
+          // and still times its own t0..end span.)
+          val preProbe = hostProbe()
           while (System.currentTimeMillis() < startMs) Thread.sleep(10)
           val t0 = System.nanoTime()
           var rows = 0L

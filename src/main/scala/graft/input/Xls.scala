@@ -201,7 +201,13 @@ object Xls {
       var left = cch
       while (left > 0) {
         roll()
-        val atBoundary = off == 0 && sb.length() > 0
+        // off == 0 here means a fragment rolled during the character run
+        // (the header read leaves off > 0 in its own fragment) — including
+        // a boundary between the 3-byte header and the FIRST character,
+        // which the writer's needFrag(3+1) can emit for uncompressed
+        // strings. Per MS-XLS 2.5.268 every such continuation restarts
+        // with its own fHighByte flags byte.
+        val atBoundary = off == 0
         if (atBoundary) flags = u8() // mid-string spill: fresh flags byte
         if ((flags & 1) == 0) sb.append((u8()).toChar)
         else sb.append((u16()).toChar)

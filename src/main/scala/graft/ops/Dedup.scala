@@ -163,9 +163,17 @@ object Dedup {
       .select(col("__id__"), md5Bases(col("__toks__")).as("__bases__"))
       .select(col("__id__"),
         md5MinhashSig(col("__bases__"), numHashes).as("__sig__"))
-    // evictable persist (the Categorize pattern): both sides of the
-    // bucket self-join read `banded`, and without a materialization the
-    // regex+md5 signature pipeline runs twice end to end
+    // Evictable persist (the Categorize precedent, Categorize.scala:130):
+    // both sides of the bucket self-join read `banded`, and without a
+    // materialization the regex+md5 signature pipeline runs twice end to
+    // end. Deliberately NOT unpersisted here: the returned DataFrame is
+    // lazy (no Spark job at plan-construction time), so an eager
+    // unpersist would have to materialize the result inside this call.
+    // MEMORY_AND_DISK blocks are evictable under memory pressure (unlike
+    // a pinned localCheckpoint), so a long session running many queries
+    // (Verify runs all 72 in one SparkSession) degrades to recompute,
+    // never to OOM — the same lifetime contract Categorize's join-back
+    // dictionary documents.
     val banded = sigs.select(col("__id__"), col("__sig__"),
       posexplode(array((0 until bands).map(b =>
         slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand)): _*))

@@ -18,6 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through the real engine path (Catalyst cell-encoder expressions, JTS
   * refinement, scanline rasterization, ring-expansion kNN). Constants are
   * small primes; products stay far below 2^63 (DuckDB errors on overflow).
+  *
+  * ORACLE DTYPE CONVENTION (pinned after the q57/q71 round-5 hash-reds):
+  * DuckDB's SUM over any integer type returns HUGEINT, which the driver's
+  * pandas-based hasher renders as float64 ("35000.0" != Spark's "35000").
+  * Therefore every integer SUM that reaches an OUTPUT column must be
+  * wrapped in CAST(... AS BIGINT) in the oracle SQL. SUMs that are only
+  * consumed by downstream CTEs (e.g. q32's session-id window SUM, which is
+  * grouped by and never emitted) are exempt — the cast convention applies
+  * to the SELECT list the driver hashes. COUNT(*) is already BIGINT in
+  * DuckDB and needs no cast.
   */
 object GraftQueries {
 
@@ -1976,8 +1986,8 @@ object GraftQueries {
     """WITH tok AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
       |s AS (SELECT doc_id, n_tokens,
-      |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
       |  FROM tok)
       |SELECT doc_id, n_tokens, start_offset,
       |       CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
@@ -2506,7 +2516,7 @@ object GraftQueries {
   }
 
   val q71Sql: String =
-    """SELECT r AS row, COUNT(*) AS cnt, SUM(v) AS sum_v,
+    """SELECT r AS row, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum_v,
       |       MIN(c) AS min_c, MAX(c) AS max_c
       |FROM (SELECT rr.range AS r, cc.range AS c,
       |             (rr.range * 31 + cc.range * 7) % 251 AS v

@@ -69,6 +69,39 @@ class XlsSpec extends SparkSpec {
     }
   }
 
+  test("SST string whose header ends exactly at a fragment boundary decodes " +
+    "(continuation flags byte before the FIRST character, MS-XLS 2.5.268)") {
+    // Craft the SST so the uncompressed target string's 3-byte header lands
+    // with exactly 4 bytes of room in the first fragment (needFrag(3+1)
+    // passes, header leaves 1 byte, the 2-byte char spills) — the shape
+    // where the continuation's flags byte precedes the first character.
+    // Layout: head(8) + "id"(3+2) + "text"(3+4) + filler(3+L) must leave
+    // room 4 of 8224, so L = 8197.
+    val filler = "f" * 8197
+    val target = "Ābc" // char >= 256 -> uncompressed (fHighByte=1)
+    val df = Seq((1L, filler), (2L, target)).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("xlsb").toString + "/b.xls"
+    Xls.write(df, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val stream = Xls.workbookStream(bytes)
+    // verify the fixture really has the shape under test: the SST record's
+    // data ends 3 bytes after the target header started (header written,
+    // zero characters), and the CONTINUE record opens with flags byte 0x01
+    var p = 0; var sstLen = -1; var contFirst = -1
+    while (p + 4 <= stream.length) {
+      val id = (stream(p) & 0xff) | ((stream(p + 1) & 0xff) << 8)
+      val len = (stream(p + 2) & 0xff) | ((stream(p + 3) & 0xff) << 8)
+      if (id == 0x00FC) sstLen = len
+      else if (id == 0x003C && contFirst < 0) contFirst = stream(p + 4) & 0xff
+      p += 4 + len
+    }
+    assert(sstLen == 8223, "target header must end the SST fragment")
+    assert(contFirst == 1, "continuation must open with uncompressed flags")
+    val back = Xls.read(spark, path).orderBy("id").collect()
+    assert(back(0).getString(1) == filler)
+    assert(back(1).getString(1) == target)
+  }
+
   test("xls date cells surface as ISO strings; nulls and MULRK runs decode") {
     val df = Seq(
       (10L, 20L, Some(java.sql.Timestamp.valueOf("1998-10-03 00:00:00")), Some("a")),
