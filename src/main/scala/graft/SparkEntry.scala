@@ -92,7 +92,8 @@ object SparkEntry {
     "q69_shp_roundtrip" -> (GraftQueries.q69ShpRoundtrip _),
     "q70_geojson_roundtrip" -> (GraftQueries.q70GeoJsonRoundtrip _),
     "q71_tiff_raster" -> (GraftQueries.q71TiffRaster _),
-    "q72_vector_files" -> (GraftQueries.q72VectorFiles _)
+    "q72_vector_files" -> (GraftQueries.q72VectorFiles _),
+    "q73_zarr_export" -> (GraftQueries.q73ZarrExport _)
   )
 
   /** DuckDB-runnable oracle per query (same column names as the Spark
@@ -168,6 +169,7 @@ object SparkEntry {
     "q70_geojson_roundtrip" -> GraftQueries.q70Sql,
     "q71_tiff_raster" -> GraftQueries.q71Sql,
     "q72_vector_files" -> GraftQueries.q72Sql,
+    "q73_zarr_export" -> GraftQueries.q73Sql,
     "q24_ann_cosine" -> GraftQueries.q24Sql,
     "q26_lang_quality" -> GraftQueries.q26Sql
     // q30 is the ONLY remaining rows-only query: the H3/S2 cell encoders

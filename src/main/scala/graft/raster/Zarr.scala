@@ -1,0 +1,330 @@
+package graft.raster
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Zarr v2 bit-format export/read for [[TileStore]] — closes the one
+  * format gap between the store-equivalent sink and the reference's real
+  * Zarr output (`_dataframe.py:489-673` writes the skeleton + region
+  * chunks through xarray's `to_zarr`). Everything here is the public
+  * zarr v2 spec re-implemented offline:
+  *
+  *  - group: `.zgroup` = {"zarr_format": 2}, group `.zattrs` carrying the
+  *    store attrs + CRS + GDAL-style affine transform;
+  *  - one array directory per column: `.zarray` (C order, little-endian
+  *    dtype, chunk grid = the store's tile grid, numcodecs `zlib`
+  *    compressor, fill_value = the column's nodata) and `.zattrs` with
+  *    xarray's `_ARRAY_DIMENSIONS: ["y","x"]` so `xarray.open_zarr` gets
+  *    dimension names, plus the reference's nodata/lookup attrs;
+  *  - `y`/`x` coordinate arrays (cell centres, single chunk each), the
+  *    rioxarray convention the reference's skeleton bakes in
+  *    (`_dataframe.py:524-541`);
+  *  - chunk files `i.j` (dot separator, row-major), zlib-compressed
+  *    C-order little-endian payloads; absent chunks mean fill_value —
+  *    exactly the TileStore "skeleton" semantics for unwritten tiles;
+  *  - consolidated `.zmetadata` (zarr_consolidated_format 1) so
+  *    `open_zarr(..., consolidated=True)` needs one metadata read.
+  *
+  * The export is DISTRIBUTED: one task per (tile, column) region
+  * re-encodes store bytes into a zarr chunk, executor-side, through the
+  * same atomic tmp+move protocol TileStore regions use — at a national
+  * 10 m canvas that is 13k independent tasks, not a driver loop.
+  */
+object Zarr {
+
+  /** TileStore dtype ladder -> zarr v2 dtype string (little-endian;
+    * single-byte types use '|' per the spec).
+    */
+  def zarrDtype(dtype: String): String = dtype match {
+    case "uint8" => "|u1"
+    case "int8" => "|i1"
+    case "uint16" => "<u2"
+    case "int16" => "<i2"
+    case "uint32" => "<u4"
+    case "int32" => "<i4"
+    case "uint64" => "<u8"
+    case "int64" => "<i8"
+    case "float32" => "<f4"
+    case _ => "<f8"
+  }
+
+  private def bytesPer(zdt: String): Int = zdt.substring(2).toInt
+
+  /** Encode a region's doubles as the zarr chunk payload (C order,
+    * little-endian) — the same per-dtype narrowing TileStore regions use,
+    * so store bytes and zarr bytes carry identical values.
+    */
+  private[graft] def encode(zdt: String, data: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(data.length * bytesPer(zdt))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    zdt match {
+      case "|u1" | "|i1" => data.foreach(v => bb.put(v.toByte))
+      case "<u2" | "<i2" => data.foreach(v => bb.putShort(v.toInt.toShort))
+      case "<u4" | "<i4" => data.foreach(v => bb.putInt(v.toLong.toInt))
+      case "<u8" | "<i8" => data.foreach(v => bb.putLong(
+        if (v.isNaN) 0L else if (v >= Long.MaxValue.toDouble) Long.MaxValue else v.toLong))
+      case "<f4" => data.foreach(v => bb.putFloat(v.toFloat))
+      case _ => data.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  private[graft] def decode(zdt: String, bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bytes.length / bytesPer(zdt)
+    val out = new Array[Double](n)
+    var i = 0
+    zdt match {
+      case "|u1" => while (i < n) { out(i) = bb.get() & 0xff; i += 1 }
+      case "|i1" => while (i < n) { out(i) = bb.get().toDouble; i += 1 }
+      case "<u2" => while (i < n) { out(i) = bb.getShort() & 0xffff; i += 1 }
+      case "<i2" => while (i < n) { out(i) = bb.getShort().toDouble; i += 1 }
+      case "<u4" => while (i < n) { out(i) = bb.getInt().toLong & 0xffffffffL; i += 1 }
+      case "<i4" => while (i < n) { out(i) = bb.getInt().toDouble; i += 1 }
+      case "<u8" | "<i8" => while (i < n) { out(i) = bb.getLong().toDouble; i += 1 }
+      case "<f4" => while (i < n) { out(i) = bb.getFloat().toDouble; i += 1 }
+      case _ => while (i < n) { out(i) = bb.getDouble(); i += 1 }
+    }
+    out
+  }
+
+  /** numcodecs `zlib` codec: a standard RFC 1950 zlib stream (what
+    * java.util.zip.Deflater emits with nowrap=false).
+    */
+  private[graft] def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length / 8))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[graft] def inflate(z: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(z))
+    val bytes = in.readAllBytes(); in.close(); bytes
+  }
+
+  // JSON rendering: fill_value NaN must serialize as the string "NaN"
+  // (zarr v2 spec quirk, same convention the store header uses).
+  private def jNum(v: Double): String =
+    if (v.isNaN) "\"NaN\""
+    else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  private def jStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private[graft] def zarrayJson(shape: (Int, Int), chunks: (Int, Int),
+      zdt: String, fill: Double, level: Int): String =
+    s"""{"zarr_format":2,"shape":[${shape._1},${shape._2}],""" +
+      s""""chunks":[${chunks._1},${chunks._2}],"dtype":${jStr(zdt)},""" +
+      s""""compressor":{"id":"zlib","level":$level},"fill_value":${jNum(fill)},""" +
+      s""""order":"C","filters":null,"dimension_separator":"."}"""
+
+  private def zarray1dJson(n: Int, zdt: String, level: Int): String =
+    s"""{"zarr_format":2,"shape":[$n],"chunks":[$n],"dtype":${jStr(zdt)},""" +
+      s""""compressor":{"id":"zlib","level":$level},"fill_value":${jNum(Double.NaN)},""" +
+      s""""order":"C","filters":null,"dimension_separator":"."}"""
+
+  private def attrsJson(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => s"${jStr(k)}:$v" }.mkString("{", ",", "}")
+
+  private def writeAtomic(dir: java.nio.file.Path, name: String,
+      bytes: Array[Byte]): Unit = {
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, name, ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Export a TileStore as a zarr v2 group. Chunk grid == tile grid
+    * (requires the canvas to be tile-aligned, which every store this
+    * engine writes is: BNG canvases start at 0 and end on tileSize
+    * multiples). Chunk re-encodes run one-task-per-(tile,column) on the
+    * executors; JSON metadata is driver-written once, like the skeleton.
+    */
+  def export(spark: SparkSession, storePath: String, outPath: String,
+      level: Int = 1): Unit = {
+    import spark.implicits._
+    val store = new TileStore(storePath)
+    val h = store.header
+    val t = math.round(h.tileSize / h.cellSize).toInt
+    val wf = (h.canvasMaxX - h.canvasMinX) / h.cellSize
+    val hf = (h.canvasMaxY - h.canvasMinY) / h.cellSize
+    val w = math.round(wf).toInt
+    val ht = math.round(hf).toInt
+    require(w % t == 0 && ht % t == 0,
+      s"canvas ($ht x $w cells) is not tile-aligned (tile $t cells): " +
+        "the zarr chunk grid must coincide with the tile grid")
+
+    val root = Paths.get(outPath)
+    Files.createDirectories(root)
+    val zgroup = """{"zarr_format":2}"""
+    writeAtomic(root, ".zgroup", zgroup.getBytes(UTF_8))
+    // GDAL-style affine transform (a, b, c, d, e, f) = (cellSize, 0,
+    // minX, 0, -cellSize, maxY) — what rioxarray stamps on the skeleton.
+    val groupAttrs = attrsJson(
+      h.attrs.toSeq.sortBy(_._1).map { case (k, v) => k -> jStr(v) } ++ Seq(
+        "crs" -> jStr(h.crs),
+        "transform" -> s"[${h.cellSize},0.0,${h.canvasMinX},0.0,${-h.cellSize},${h.canvasMaxY}]"))
+    writeAtomic(root, ".zattrs", groupAttrs.getBytes(UTF_8))
+
+    // coordinate arrays: cell centres, y descending from the canvas top
+    // (row 0 = top, the store's assembleCanvas orientation)
+    val xs = Array.tabulate(w)(j => h.canvasMinX + (j + 0.5) * h.cellSize)
+    val ys = Array.tabulate(ht)(i => h.canvasMaxY - (i + 0.5) * h.cellSize)
+    Seq(("x", xs), ("y", ys)).foreach { case (name, arr) =>
+      val dir = root.resolve(name)
+      writeAtomic(dir, ".zarray",
+        zarray1dJson(arr.length, "<f8", level).getBytes(UTF_8))
+      writeAtomic(dir, ".zattrs",
+        attrsJson(Seq("_ARRAY_DIMENSIONS" -> s"[${jStr(name)}]")).getBytes(UTF_8))
+      writeAtomic(dir, "0", deflate(encode("<f8", arr), level))
+    }
+
+    val colMetas = h.columns.map { spec =>
+      val zdt = zarrDtype(spec.dtype)
+      val dir = root.resolve(spec.name)
+      val za = zarrayJson((ht, w), (t, t), zdt, spec.nodata, level)
+      val attrs = attrsJson(Seq(
+        "_ARRAY_DIMENSIONS" -> """["y","x"]""",
+        "nodata" -> jNum(spec.nodata)) ++
+        spec.lookup.map(l => "lookup" -> jStr(l)).toSeq)
+      writeAtomic(dir, ".zarray", za.getBytes(UTF_8))
+      writeAtomic(dir, ".zattrs", attrs.getBytes(UTF_8))
+      (spec.name, za, attrs)
+    }
+
+    // consolidated metadata: every JSON doc inlined (chunks excluded)
+    val entries = Seq(
+      ".zgroup" -> zgroup, ".zattrs" -> groupAttrs,
+      "x/.zarray" -> zarray1dJson(w, "<f8", level),
+      "x/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> """["x"]""")),
+      "y/.zarray" -> zarray1dJson(ht, "<f8", level),
+      "y/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> """["y"]"""))) ++
+      colMetas.flatMap { case (n, za, at) =>
+        Seq(s"$n/.zarray" -> za, s"$n/.zattrs" -> at) }
+    val zmeta = s"""{"zarr_consolidated_format":1,"metadata":${
+      entries.map { case (k, v) => s"${jStr(k)}:$v" }.mkString("{", ",", "}")}}"""
+    writeAtomic(root, ".zmetadata", zmeta.getBytes(UTF_8))
+
+    // distributed chunk re-encode: (tile, column) -> chunk file i.j
+    val work = for {
+      ref <- store.tiles()
+      spec <- h.columns
+    } yield (ref, spec.name, spec.dtype)
+    if (work.nonEmpty) {
+      val sp = storePath; val op = outPath
+      val cellSize = h.cellSize; val maxY = h.canvasMaxY
+      val minX = h.canvasMinX; val tileSize = h.tileSize; val lvl = level
+      spark.createDataset(work)
+        .repartition(math.max(1,
+          math.min(work.size, spark.sparkContext.defaultParallelism)))
+        .foreach { case (ref, colName, dtype) =>
+          val st = new TileStore(sp)
+          val data = st.readRegion(ref, colName, dtype)
+          val (minx, _, _, maxy) = graft.index.Bng.bounds(ref)
+          val ci = math.round((maxY - maxy) / tileSize).toInt
+          val cj = math.round((minx - minX) / tileSize).toInt
+          val zdt = zarrDtype(dtype)
+          val payload = deflate(encode(zdt, data), lvl)
+          writeAtomic(Paths.get(op, colName), s"$ci.$cj", payload)
+        }
+    }
+  }
+
+  /** Parsed `.zarray` metadata (the fields this engine writes/reads). */
+  case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+      fill: Double, compressed: Boolean)
+
+  def readArrayMeta(arrayPath: String): ArrayMeta = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(new String(
+      Files.readAllBytes(Paths.get(arrayPath, ".zarray")), UTF_8))
+    require((j \ "zarr_format").extract[Int] == 2, "not a zarr v2 array")
+    require((j \ "order").extract[String] == "C", "only C order supported")
+    val fill = j \ "fill_value" match {
+      case JString("NaN") => Double.NaN
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JNull => Double.NaN
+      case other => throw new IllegalArgumentException(s"fill_value: $other")
+    }
+    val comp = j \ "compressor" match {
+      case JNull => false
+      case o => (o \ "id").extract[String] match {
+        case "zlib" => true
+        case id => throw new IllegalArgumentException(
+          s"unsupported zarr compressor '$id' (zlib or null)")
+      }
+    }
+    ArrayMeta((j \ "shape").extract[Seq[Int]],
+      (j \ "chunks").extract[Seq[Int]],
+      (j \ "dtype").extract[String], fill, comp)
+  }
+
+  /** Read one chunk back as doubles (fill-valued if the chunk file is
+    * absent — zarr semantics for never-written chunks). 1-D arrays (the
+    * coordinate vectors) name chunks `i`; 2-D arrays name them `i.j`.
+    */
+  def readChunk(arrayPath: String, meta: ArrayMeta, ci: Int, cj: Int = 0): Array[Double] = {
+    val f = Paths.get(arrayPath,
+      if (meta.chunks.length == 1) s"$ci" else s"$ci.$cj")
+    val n = meta.chunks.product
+    if (!Files.exists(f)) Array.fill(n)(meta.fill)
+    else {
+      val raw = Files.readAllBytes(f)
+      decode(meta.dtype, if (meta.compressed) inflate(raw) else raw)
+    }
+  }
+
+  /** Distributed zarr scan: every WRITTEN chunk of a 2-D array becomes
+    * one task emitting its non-fill cells as (row, col, value) in global
+    * array coordinates — the read direction of the export, shaped like
+    * [[Tiff.cells]] (one task per chunk, no shuffle).
+    */
+  def cells(spark: SparkSession, arrayPath: String): DataFrame = {
+    import spark.implicits._
+    val meta = readArrayMeta(arrayPath)
+    require(meta.shape.length == 2, "cells() reads 2-D arrays")
+    import scala.jdk.CollectionConverters._
+    val chunkRe = "^(\\d+)\\.(\\d+)$".r
+    val present = Files.list(Paths.get(arrayPath)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case chunkRe(a, b) => (a.toInt, b.toInt) }
+      .toSeq.sorted
+    val (tr, tc) = (meta.chunks(0), meta.chunks(1))
+    val (nr, nc) = (meta.shape(0), meta.shape(1))
+    val ap = arrayPath
+    spark.createDataset(present)
+      .repartition(math.max(1,
+        math.min(present.size max 1, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (ci, cj) =>
+        val m = readArrayMeta(ap)
+        val data = readChunk(ap, m, ci, cj)
+        val fill = m.fill
+        data.iterator.zipWithIndex.collect {
+          case (v, idx) if !(v == fill || (v.isNaN && fill.isNaN)) =>
+            val r = ci * tr + idx / tc
+            val c = cj * tc + idx % tc
+            (r, c, v)
+        }.filter { case (r, c, _) => r < nr && c < nc }
+      }
+      .toDF("row", "col", "value")
+  }
+}

@@ -2566,4 +2566,42 @@ object GraftQueries {
       |       'POINT (' || CAST(o_orderkey * 37 % 700000 AS BIGINT)
       |         || ' ' || CAST(o_orderkey * 91 % 1200000 AS BIGINT) || ')' AS wkt
       |FROM orders WHERE o_orderkey < 300""".stripMargin
+
+  /** Zarr v2 bit-format export + read-back (the reference's actual sink
+    * format, `_dataframe.py:489-673` `to_zarr`): doc points burn a
+    * deterministic per-cell value (a function of the 10 km cell only, so
+    * last-write-wins collisions are idempotent) into a TileStore, the
+    * store exports as a spec-level zarr v2 group (`.zarray` JSON + zlib
+    * chunks, one executor task per tile), and the result is read back
+    * through the distributed zarr chunk scan into global (row, col,
+    * value) cells. The whole write -> export -> read chain is oracled by
+    * the closed form over the distinct burned cells; chunk naming,
+    * C-order layout, zlib codec and fill-value masking all have to be
+    * right for the values to land on the right (row, col).
+    */
+  def q73ZarrExport(spark: SparkSession, dir: String): DataFrame = {
+    val pts = docPoints(spark, dir)
+      .withColumn("v",
+        ((floor(col("x") / 10000L) * 7L + floor(col("y") / 10000L) * 13L)
+          % 250L + 1L).cast("int"))
+      .withColumn("geometry",
+        st_point(col("x").cast("double"), col("y").cast("double")))
+    val storePath = scratchStore(spark, "q73s")
+    val zarrPath = scratchStore(spark, "q73z")
+    graft.raster.RasterPipeline.toTileStore(
+      pts, "geometry", Seq("v"), storePath,
+      cellSize = 10000, tileSize = 100000, overwrite = true)
+    graft.raster.Zarr.export(spark, storePath, zarrPath)
+    graft.raster.Zarr.cells(spark, s"$zarrPath/v")
+      .orderBy(col("row"), col("col"))
+  }
+
+  val q73Sql: String =
+    s"""WITH pts AS ($docPointsSql),
+      |c AS (SELECT DISTINCT CAST(FLOOR(x / 10000) AS BIGINT) AS ce,
+      |                      CAST(FLOOR(y / 10000) AS BIGINT) AS cn
+      |      FROM pts)
+      |SELECT CAST(129 - cn AS INT) AS row, CAST(ce AS INT) AS col,
+      |       CAST((ce * 7 + cn * 13) % 250 + 1 AS DOUBLE) AS value
+      |FROM c ORDER BY row, col""".stripMargin
 }
