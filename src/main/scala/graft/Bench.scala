@@ -369,6 +369,46 @@ object Bench {
     }
   }
 
+  /** Single-thread host-state probe (splitmix64 Mops): the shared host
+    * this sandbox runs on swings 3-7x on minute scales, and a catalogue
+    * measured across a contended window reads as an operator regression
+    * (round-5: total 78.5s vs round-4's 46.8s on unchanged code). The
+    * probe brackets each measurement phase; an artifact whose probes sit
+    * in one band was measured on one host state and is comparable
+    * round-over-round, one that isn't is visibly tainted. Same kernel
+    * the ScalingBench admissibility gate uses child-side.
+    */
+  def hostProbe(): Double = {
+    var x = 12345L; var i = 0L; val m = 200000000L
+    val t0 = System.nanoTime()
+    while (i < m) { x = WebTable.splitmix64(x); i += 1 }
+    if (x == 42L) System.err.print("") // defeat dead-code elimination
+    m / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
+  /** Disk-bandwidth probe (sequential 64 MB write + fsync, MB/s): the
+    * host's write bandwidth swings independently of its CPU state
+    * (measured: 36-47 MB/s in the same window where the CPU probes sat
+    * in a healthy 226-244 Mops band), and it is the dimension the
+    * disk-touching queries (streaming checkpoints, tile-store writes,
+    * parquet stages) are exposed to. Recorded alongside the CPU probes
+    * so a catalogue measured under I/O contention is visibly tainted.
+    */
+  def diskProbe(): Double = {
+    val tmp = java.nio.file.Files.createTempFile("graft-diskprobe", ".bin")
+    val buf = java.nio.ByteBuffer.allocate(8 * 1024 * 1024)
+    java.util.Arrays.fill(buf.array(), 0xAB.toByte)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.WRITE)
+    var i = 0
+    while (i < 8) { buf.rewind(); ch.write(buf); i += 1 }
+    ch.force(true); ch.close()
+    val mbps = 64.0 / ((System.nanoTime() - t0) / 1e9)
+    java.nio.file.Files.deleteIfExists(tmp)
+    mbps
+  }
+
   /** 40 deterministic 60 km boxes — the broadcastable polygon side. */
   def polygonDims(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -425,6 +465,20 @@ object Bench {
     // warm-ups. Timings are best-of-2 — a single-shot number is noise-
     // prone (JIT, page cache, GC) and a one-off 15x outlier in the
     // recorded JSON sends later rounds chasing phantom regressions.
+    // Host-state probes bracketing every phase (catalogue, headline
+    // kernel, auxiliary kernels, solo children): recorded in the JSON so
+    // a contended measurement window is visible IN the artifact instead
+    // of reading as a phantom operator regression in the next round's
+    // comparison. probe_band_ok uses the ScalingBench admissibility
+    // band (max <= 1.15 * min across all probes).
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val diskProbes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def probe(tag: String): Unit = {
+      probes += (tag -> hostProbe())
+      diskProbes += (tag -> diskProbe())
+    }
+
+    probe("pre_catalogue")
     val streamingFirst = Set("q29_stream_hourly", "q41_stream_dedup", "q58_stream_clean")
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (if (streamingFirst(name)) 0 else 1, name)
@@ -452,6 +506,8 @@ object Bench {
     }.sortBy(_._1)
 
 
+    probe("post_catalogue")
+
     // headline metric: three full warm-up runs (C2 reaches steady state
     // after several passes over the generated code), best of three timed
     // (methodology matches ScalingBench / BENCH.md)
@@ -463,6 +519,7 @@ object Bench {
     spatialPipelineThroughputMultiRes(spark, benchRows) // warm
     val multiResRowsPerSec =
       (1 to 2).map(_ => spatialPipelineThroughputMultiRes(spark, benchRows)).max
+    probe("post_headline")
 
     // rasterize kernel throughput (geometries/sec through the tile sink)
     rasterizeThroughput(spark, 20000L) // warm
@@ -490,6 +547,7 @@ object Bench {
     webCleanThroughput(spark, 20000L) // warm
     val webCleanPerSec = (1 to 2).map(_ =>
       webCleanThroughput(spark, cpusForSizing.toLong * 6000L)).max
+    probe("post_kernels")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -524,7 +582,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"linededup_lines_per_sec":${lineDedupPerSec.round},"webclean_rows_per_sec":${webCleanPerSec.round},"query_total_sec":${results.map(_._2).sum},"failed":$failedJson,"queries":$qs,"solo":$soloJson,"sf":"$sfDir"}""")
+    probe("post_solo")
+    val probeVals = probes.map(_._2)
+    val probeBandOk = probeVals.nonEmpty &&
+      probeVals.max <= probeVals.min * 1.15
+    // Disk bandwidth swings far wider than CPU on this shared host; a 2x
+    // band separates "same I/O regime" from "one phase measured a
+    // different disk" without flagging ordinary jitter.
+    val diskVals = diskProbes.map(_._2)
+    val diskBandOk = diskVals.nonEmpty && diskVals.max <= diskVals.min * 2.0
+    val probesJson = probes.map { case (k, v) =>
+      "\"" + k + f"\":${v}%.1f" }.mkString("{", ",", "}")
+    val diskJson = diskProbes.map { case (k, v) =>
+      "\"" + k + f"\":${v}%.0f" }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"spatial-join + tile-assignment throughput","value":${rowsPerSec.round},"unit":"rows/sec","bench_rows":$benchRows,"cpus":$cpus,"multires_rows_per_sec":${multiResRowsPerSec.round},"rasterize_geoms_per_sec":${rasterRowsPerSec.round},"dedup_docs_per_sec":${dedupDocsPerSec.round},"ann_brute_qps":${bruteQps.round},"ann_ivf_qps":${ivfQps.round},"ann_rhp_rows_per_sec":${rhpRowsPerSec.round},"linededup_lines_per_sec":${lineDedupPerSec.round},"webclean_rows_per_sec":${webCleanPerSec.round},"query_total_sec":${results.map(_._2).sum},"failed":$failedJson,"probes_mops":$probesJson,"probe_band_ok":$probeBandOk,"disk_probes_mbps":$diskJson,"disk_band_ok":$diskBandOk,"queries":$qs,"solo":$soloJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

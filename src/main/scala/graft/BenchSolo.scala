@@ -69,20 +69,14 @@ object BenchSolo {
         // carrying C2 compilation, measured on the dedup solo anomaly)
         Bench.spatialPipelineThroughputMultiRes(spark, n)
         Bench.spatialPipelineThroughputMultiRes(spark, n)
-        // Single-thread host-state probe (splitmix64 Mops) run
-        // IMMEDIATELY before and after this child's timed window: the
-        // shared host swings faster than a pair of windows (measured
-        // round 5: probes 242 -> 159 -> 226 Mops across one invocation),
-        // so the parent admits a loaded pair only when both sides'
-        // bracketing probes sit in one band — i.e. both sides actually
-        // measured the same machine.
-        def hostProbe(): Double = {
-          var x = 12345L; var i = 0L; val m = 200000000L
-          val t0 = System.nanoTime()
-          while (i < m) { x = graft.input.WebTable.splitmix64(x); i += 1 }
-          if (x == 42L) System.err.print("") // defeat dead-code elimination
-          m / ((System.nanoTime() - t0) / 1e9) / 1e6
-        }
+        // Single-thread host-state probe (Bench.hostProbe, splitmix64
+        // Mops) run IMMEDIATELY before and after this child's timed
+        // window: the shared host swings faster than a pair of windows
+        // (measured round 5: probes 242 -> 159 -> 226 Mops across one
+        // invocation), so the parent admits a loaded pair only when both
+        // sides' bracketing probes sit in one band — i.e. both sides
+        // actually measured the same machine.
+        def hostProbe(): Double = Bench.hostProbe()
         val pid = ProcessHandle.current().pid()
         java.nio.file.Files.writeString(
           new java.io.File(dir, s"ready-$pid").toPath, "")
