@@ -87,8 +87,14 @@ object BenchSolo {
         if (!startFile.exists()) {
           println(s"SOLO-INVALID $t no-start-file")
         } else {
-          val Array(startMs, endMs) = java.nio.file.Files
-            .readString(startFile.toPath).trim.split(' ').map(_.toLong)
+          // start file: "startMs endMs instances" (instances optional for
+          // compatibility with older parents; defaults to 1 = no done
+          // barrier wait beyond this child's own file)
+          val startParts = java.nio.file.Files
+            .readString(startFile.toPath).trim.split(' ')
+          val startMs = startParts(0).toLong
+          val endMs = startParts(1).toLong
+          val instances = if (startParts.length > 2) startParts(2).toInt else 1
           // pre-probe taken AFTER the start window is published, i.e.
           // actually bracketing the timed window — measured before the
           // ready file it could precede the barrier wait by many minutes,
@@ -110,6 +116,25 @@ object BenchSolo {
             println(s"SOLO-INVALID $t missed-window")
           } else {
             val rps = rows / ((System.nanoTime() - t0) / 1e9)
+            // DONE barrier before the post-probe: the window loop starts
+            // a final kernel iteration just before endMs and overshoots
+            // it, so siblings finish staggered — a child that post-probes
+            // the moment ITS loop exits measures the siblings still
+            // finishing (round-6 forensics: every co-run child's
+            // pre-probe read ~242 Mops and every post-probe ~120, a
+            // structural artifact that failed the 15% admissibility band
+            // on an otherwise healthy host). Each child declares done,
+            // then waits for all siblings' done files; only then does the
+            // post-probe measure the HOST rather than the protocol.
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, s"done-$pid").toPath, "")
+            def doneCount(): Int = {
+              val fs = dir.listFiles()
+              if (fs == null) 0 else fs.count(_.getName.startsWith("done-"))
+            }
+            val doneDeadline = System.currentTimeMillis() + 10 * 60 * 1000L
+            while (doneCount() < instances &&
+                   System.currentTimeMillis() < doneDeadline) Thread.sleep(50)
             val postProbe = hostProbe()
             println(s"SOLO probe-pre-$pid $preProbe")
             println(s"SOLO probe-post-$pid $postProbe")

@@ -113,7 +113,10 @@ object ScalingBench {
           val startMs = System.currentTimeMillis() + 3000L
           val endMs = startMs + 90000L
           val tmp = dir.resolve("start.tmp")
-          java.nio.file.Files.writeString(tmp, s"$startMs $endMs")
+          // third field = instance count, for the children's done-file
+          // barrier (each child post-probes only after ALL siblings have
+          // finished their overshooting final iteration)
+          java.nio.file.Files.writeString(tmp, s"$startMs $endMs $instances")
           java.nio.file.Files.move(tmp, dir.resolve("start"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
@@ -171,6 +174,12 @@ object ScalingBench {
         val boundsOk = r32 >= 0.7 * rps32 &&
           4 * r8 >= 0.6 * rps32 && 4 * r8 <= 1.45 * rps32
         val admissible = r32 > 0.0 && r8 > 0.0 && probesOk && boundsOk
+        // per-cycle verdict recorded for forensics: WHICH check failed
+        // decides whether a red invocation means host contention
+        // (probes), a collapsed wide window (bounds), or a missed
+        // barrier (zero)
+        System.err.println(f"[scaling] cycle r8=${r8.round} r32=${r32.round} " +
+          s"probesOk=$probesOk boundsOk=$boundsOk admissible=$admissible")
         cyclesBuf += ((r8, r32, probes, admissible))
         if (admissible) done = true // first same-host cycle settles the pair
       }
