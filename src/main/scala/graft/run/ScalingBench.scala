@@ -57,6 +57,15 @@ object ScalingBench {
     (1 to idleCycles).foreach { _ =>
       levels.foreach { c => best(c) = math.max(best(c), timeAt(c)) }
     }
+    // The 32-level is the ANCHOR of every loaded-cycle admissibility
+    // bound (r32 >= 0.7*idle32, 4*r8 inside [0.6, 1.45]*idle32), so it
+    // gets two extra dedicated best-of sessions regardless of the idle
+    // cycle count: with IDLE_CYCLES=1 a single contended idle-32 session
+    // read 14.0M on a ~21M box and the upper bound then rejected three
+    // healthy co-run cycles whose aggregates (22.8-23.4M) were simply at
+    // the box's real ceiling (round-6 inv3 forensics). Best-of is the
+    // right estimator here: transient contention can only understate.
+    (1 to 2).foreach { _ => best(32) = math.max(best(32), timeAt(32)) }
     val rps4 = best(4); val rps16 = best(16)
     val rps8 = best(8); val rps32 = best(32)
     val eff416 = (rps16 / rps4) / 4.0
