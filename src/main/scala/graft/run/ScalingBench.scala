@@ -246,17 +246,21 @@ object ScalingBench {
           rows <- f("rows")
         } yield f("efficiency_loaded") match {
           case Some(el) =>
+            val contended = l.contains(""""host_contended":true""")
             val mark =
               if (l.contains(""""note":""")) " †" // annotated in the JSONL
-              else if (l.contains(""""host_contended":true""")) " ‡"
+              else if (contended) " ‡"
               else ""
             s"| ${(rows.toDouble / 1e6).round}M$mark | $e416 | $e832 | $el |" +
               // A SPECrate-style pair cannot be meaningfully superlinear:
               // efficiency far above 1 means the co-run N side was
               // undermeasured (e.g. the GC-thread oversubscription found
               // in round 5), so it is evidence of a broken measurement,
-              // never a pass.
-              s" ${if (el.toDouble > 1.15) "SUSPECT (superlinear - co-run side undermeasured)"
+              // never a pass. A contended row (no cycle passed the
+              // probe/bounds gate) is not evidence either way — its pair
+              // mixed two host states, so it neither passes nor fails.
+              s" ${if (contended) "INADMISSIBLE (no cycle passed the probe/bounds gate)"
+                else if (el.toDouble > 1.15) "SUSPECT (superlinear - co-run side undermeasured)"
                 else if (el.toDouble >= 0.8 && e416.toDouble >= 0.8) "PASS"
                 else "FAIL"} |"
           case None =>
@@ -309,6 +313,21 @@ object ScalingBench {
          || rows | eff 4->16 (idle box) | eff 8->32 (idle box) | eff loaded-box | gate |
          ||---|---|---|---|---|
          |$histRows
+         |
+         |Admissible loaded-box samples (rows where the per-cycle
+         |probe+bounds gate RAN and PASSED, `"host_contended":false`):
+         |${
+           val adm = java.nio.file.Files.readAllLines(histPath).toArray
+             .map(_.toString)
+             .filter(_.contains(""""host_contended":false"""))
+             .flatMap(l => ("\"efficiency_loaded\":\\s*([0-9.]+)".r)
+               .findFirstMatchIn(l).map(_.group(1)))
+           if (adm.isEmpty) "none yet."
+           else s"${adm.mkString(", ")} — ${adm.count(_.toDouble >= 0.8)} of " +
+             s"${adm.length} >= 0.8. Round-4's 0.982 predates the per-cycle " +
+             "gate (first synchronized-window invocation, vetted by its " +
+             "forensic record) and is the † PASS row above."
+         }
          |
          |† row carries a root-cause `note` in SCALING_HISTORY.jsonl
          |(e.g. builder workload overlapped the measurement window).
