@@ -46,6 +46,9 @@ case class StoreHeader(
   * column) region, named by grid ref so concurrent executor writes land
   * in disjoint files — the same disjoint-region property the reference
   * relies on for `to_zarr(region=...)` (`_dataframe.py:579-673`).
+  * [[Zarr.export]] re-encodes a store as a spec-level zarr v2 group
+  * (the reference's actual on-disk format) when bit-format parity with
+  * `to_zarr` output is needed.
   */
 class TileStore(val path: String) {
   private val headerPath = Paths.get(path, "_store.json")
