@@ -246,9 +246,14 @@ object Zarr {
     }
   }
 
-  /** Parsed `.zarray` metadata (the fields this engine writes/reads). */
+  /** Parsed `.zarray` metadata (the fields this engine writes/reads).
+    * `sep` is the chunk-key dimension separator — this engine writes the
+    * v2 default `"."`, but external writers may declare `"/"` (nested
+    * chunk directories), and a reader that ignored the field would see
+    * every chunk as absent and silently return an all-fill array.
+    */
   case class ArrayMeta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      fill: Double, compressed: Boolean)
+      fill: Double, compressed: Boolean, sep: String = ".")
 
   def readArrayMeta(arrayPath: String): ArrayMeta = {
     import org.json4s._
@@ -257,34 +262,48 @@ object Zarr {
       Files.readAllBytes(Paths.get(arrayPath, ".zarray")), UTF_8))
     require((j \ "zarr_format").extract[Int] == 2, "not a zarr v2 array")
     require((j \ "order").extract[String] == "C", "only C order supported")
+    // spec: non-finite fill_value serializes as the strings "NaN",
+    // "Infinity", "-Infinity"; absent/null means no fill
     val fill = j \ "fill_value" match {
       case JString("NaN") => Double.NaN
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
       case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
       case JInt(i) => i.toDouble
       case JLong(l) => l.toDouble
-      case JNull => Double.NaN
+      case JNull | JNothing => Double.NaN
       case other => throw new IllegalArgumentException(s"fill_value: $other")
     }
     val comp = j \ "compressor" match {
-      case JNull => false
+      case JNull | JNothing => false
       case o => (o \ "id").extract[String] match {
         case "zlib" => true
         case id => throw new IllegalArgumentException(
           s"unsupported zarr compressor '$id' (zlib or null)")
       }
     }
+    val sep = j \ "dimension_separator" match {
+      case JString(s) if s == "." || s == "/" => s
+      case JNull | JNothing => "." // v2 default when the field is absent
+      case other => throw new IllegalArgumentException(
+        s"dimension_separator: $other")
+    }
     ArrayMeta((j \ "shape").extract[Seq[Int]],
       (j \ "chunks").extract[Seq[Int]],
-      (j \ "dtype").extract[String], fill, comp)
+      (j \ "dtype").extract[String], fill, comp, sep)
   }
 
   /** Read one chunk back as doubles (fill-valued if the chunk file is
     * absent — zarr semantics for never-written chunks). 1-D arrays (the
-    * coordinate vectors) name chunks `i`; 2-D arrays name them `i.j`.
+    * coordinate vectors) name chunks `i`; 2-D arrays name them `i.j`
+    * (or `i/j` under the `/` separator).
     */
   def readChunk(arrayPath: String, meta: ArrayMeta, ci: Int, cj: Int = 0): Array[Double] = {
-    val f = Paths.get(arrayPath,
-      if (meta.chunks.length == 1) s"$ci" else s"$ci.$cj")
+    val f =
+      if (meta.chunks.length == 1) Paths.get(arrayPath, s"$ci")
+      else if (meta.sep == "/") Paths.get(arrayPath, s"$ci", s"$cj")
+      else Paths.get(arrayPath, s"$ci.$cj")
     val n = meta.chunks.product
     if (!Files.exists(f)) Array.fill(n)(meta.fill)
     else {
@@ -303,11 +322,26 @@ object Zarr {
     val meta = readArrayMeta(arrayPath)
     require(meta.shape.length == 2, "cells() reads 2-D arrays")
     import scala.jdk.CollectionConverters._
-    val chunkRe = "^(\\d+)\\.(\\d+)$".r
-    val present = Files.list(Paths.get(arrayPath)).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case chunkRe(a, b) => (a.toInt, b.toInt) }
-      .toSeq.sorted
+    val present: Seq[(Int, Int)] =
+      if (meta.sep == "/") {
+        // nested layout: <array>/<i>/<j>
+        val dirRe = "^\\d+$".r
+        Files.list(Paths.get(arrayPath)).iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            dirRe.matches(p.getFileName.toString))
+          .flatMap { d =>
+            val i = d.getFileName.toString.toInt
+            Files.list(d).iterator().asScala
+              .map(_.getFileName.toString)
+              .collect { case s if dirRe.matches(s) => (i, s.toInt) }
+          }.toSeq.sorted
+      } else {
+        val chunkRe = "^(\\d+)\\.(\\d+)$".r
+        Files.list(Paths.get(arrayPath)).iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case chunkRe(a, b) => (a.toInt, b.toInt) }
+          .toSeq.sorted
+      }
     val (tr, tc) = (meta.chunks(0), meta.chunks(1))
     val (nr, nc) = (meta.shape(0), meta.shape(1))
     val ap = arrayPath

@@ -136,6 +136,39 @@ class ZarrSpec extends SparkSpec {
     assert(chunk.sameElements(Array(1d, meta.fill, meta.fill, 2d)))
   }
 
+  test("external-writer compatibility: / separator, Infinity fill, no compressor") {
+    // hand-built zarr array as another writer would emit it: nested i/j
+    // chunk dirs, uncompressed chunks, Infinity fill, no field defaults
+    val d = Files.createTempDirectory("zarr-ext").resolve("a")
+    Files.createDirectories(d)
+    Files.write(d.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[4,4],"chunks":[2,2],"dtype":"<f8",
+        |"compressor":null,"fill_value":"Infinity","order":"C",
+        |"filters":null,"dimension_separator":"/"}""".stripMargin.getBytes(UTF_8))
+    val meta = Zarr.readArrayMeta(d.toString)
+    assert(meta.sep == "/" && !meta.compressed && meta.fill.isPosInfinity)
+    // chunk (1,0): nested dir layout, raw little-endian doubles
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(5d, Double.PositiveInfinity, 7d, 8d).foreach(bb.putDouble)
+    Files.createDirectories(d.resolve("1"))
+    Files.write(d.resolve("1").resolve("0"), bb.array())
+    assert(Zarr.readChunk(d.toString, meta, 1, 0)
+      .sameElements(Array(5d, Double.PositiveInfinity, 7d, 8d)))
+    // absent chunk reads as fill
+    assert(Zarr.readChunk(d.toString, meta, 0, 1).forall(_.isPosInfinity))
+    // distributed scan discovers nested chunks and masks the fill
+    val got = Zarr.cells(spark, d.toString)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(got == Set((2, 0, 5d), (3, 0, 7d), (3, 1, 8d)))
+    // a missing dimension_separator field defaults to "."
+    Files.write(d.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[4,4],"chunks":[2,2],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C",
+        |"filters":null}""".stripMargin.getBytes(UTF_8))
+    assert(Zarr.readArrayMeta(d.toString).sep == ".")
+  }
+
   test("readArrayMeta rejects non-v2 / non-C / unknown compressor") {
     val d = Files.createTempDirectory("zarr-bad")
     Files.write(d.resolve(".zarray"),
