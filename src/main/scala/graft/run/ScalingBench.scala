@@ -329,6 +329,25 @@ object ScalingBench {
              "forensic record) and is the † PASS row above."
          }
          |
+         |What the admissible distribution says (round-6 reading): the
+         |co-run side is rock-stable (5.5-6.1M rows/s per instance in
+         |EVERY admissible or near-admissible cycle — four independent
+         |8-thread JVMs never barrier with each other), so the spread
+         |comes from the single local[32] side: 16.2-17.5M in the 0.74
+         |cycles vs its own 19.8-21.3M idle best. The box's co-run
+         |aggregate (22-23.5M) exceeds the 32-thread single-JVM ceiling
+         |(19.8-21.3M) by the single-JVM coordination cost — one driver,
+         |one barrier per stage across 32 threads, one GC — which alone
+         |caps this proxy at ~0.88-0.91 even on a perfectly calm host;
+         |residual steal against the wide synchronous stages explains the
+         |rest of the 0.74 readings, and the 0.98-1.0 readings are
+         |windows where the host was calm (round 4) or suppressed both
+         |sides uniformly (the SPECrate condition holding exactly). A
+         |real 4N-executor cluster has 4N independent 8-thread executors
+         |on BOTH sides of the comparison — no 32-wide JVM anywhere — so
+         |the production-faithful reading of this pair is the co-run
+         |side's stability itself plus the 4->16 idle pair's 0.81-0.90.
+         |
          |† row carries a root-cause `note` in SCALING_HISTORY.jsonl
          |(e.g. builder workload overlapped the measurement window).
          |
