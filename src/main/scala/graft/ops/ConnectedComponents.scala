@@ -16,11 +16,30 @@ import org.apache.spark.sql.functions._
   * "Connected Components in MapReduce and Beyond"), to a fixpoint. Per
   * iteration: one join of the (pinned, eagerly checkpointed) symmetric
   * edge list against the label table + one map-side-combined min
-  * aggregation + one label-table self-join — all shuffles keyed on node
-  * ids, payload two longs. The halving step turns O(diameter)
-  * convergence into O(log diameter) — the difference between 10^6 and
-  * ~20 shuffle rounds on a web-scale chain; `maxIters` fails loudly
-  * rather than returning a half-converged labelling.
+  * aggregation, then one label-table self-join over the MATERIALIZED
+  * propagation result — all shuffles keyed on node ids, payload two
+  * longs. The halving step turns O(diameter) convergence into
+  * O(log diameter) — the difference between 10^6 and ~20 shuffle rounds
+  * on a web-scale chain; `maxIters` fails loudly rather than returning a
+  * half-converged labelling.
+  *
+  * Round-7 shuffle/job accounting (guide §1.2/§2.4), results unchanged:
+  *  - the symmetric edge list carries a SELF-LOOP per node, so the
+  *    propagation step is ONE join + ONE min aggregation (the self-loop
+  *    delivers the node's own label; previously least(own, neighbour-min)
+  *    needed a second join against the label table);
+  *  - the propagation result is eagerly checkpointed BEFORE the pointer-
+  *    halving self-join: both join sides then read the materialized
+  *    blocks, where the unmaterialized frame re-computed the whole
+  *    join+aggregation subtree twice per iteration (no ReuseExchange —
+  *    the two sides shuffle on different keys);
+  *  - convergence is detected by a plain aggregate, no join: labels are
+  *    per-node NON-INCREASING across iterations (both steps take a
+  *    `min`/`least`), so the label-sum is strictly decreasing until the
+  *    fixpoint and "sum unchanged" <=> "no node changed". The sum runs in
+  *    DECIMAL(38,0): overflow-safe for any id range/node count.
+  *  - the identity init + first propagation fuse into the initial label
+  *    build (min over self+neighbours), saving one full iteration.
   */
 object ConnectedComponents {
 
@@ -30,27 +49,34 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val dirs = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+    val sym = dirs
+      .unionByName(dirs.select(col("u"), col("u").as("v"))) // self-loops
       .distinct()
       .localCheckpoint(true) // reused every iteration — pin it once
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Fused init: label0(node) = min(node, min neighbour id) — exactly
+    // what one propagation step computes from the identity labelling.
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // null sum <=> empty node set (degenerate input) — Objects.equals
+    // below treats two empty-graph rounds as converged.
+    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var converged = false
     var it = 0
     // Superseded label tables (and sym) are unpersisted as soon as their
     // successor is materialized — a localCheckpoint(true) block is
     // lineage-truncated and NOT evictable, so leaving up to maxIters
     // copies pinned would starve the block manager on a long session.
-    while (changed > 0 && it < maxIters) {
-      val neighbourMin = sym
+    while (!converged && it < maxIters) {
+      // Propagation: min label over self+neighbours (self-loop carries
+      // the node's own label through the same aggregation).
+      val hopped = sym
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("node"))
-        .agg(min(col("vl")).as("nl"))
-      val hopped = labels.join(neighbourMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .agg(min(col("vl")).as("label"))
+        .localCheckpoint(true) // both halving sides read THIS, not the lineage
       // Pointer halving: jump each node's label to its label's label.
       // A plain neighbour-min pass moves a label one edge per iteration
       // (O(diameter) rounds — a 10^6-hop web-graph chain would need
@@ -62,15 +88,19 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("label"), coalesce(col("__ll__"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count() // materializes `next`
-      graft.core.Pinned.free(labels) // superseded — free its pinned blocks
+      // Convergence: per-node labels are non-increasing, so an unchanged
+      // decimal label-sum proves every node is unchanged — one scan of
+      // the checkpointed table, no join.
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
+      graft.core.Pinned.free(hopped) // superseded by `next`
+      graft.core.Pinned.free(labels)
       labels = next
       it += 1
     }
     graft.core.Pinned.free(sym)
-    require(changed == 0,
+    require(converged,
       s"connected components did not converge in $maxIters iterations")
     // `labels` (the fixpoint) stays pinned: it is lineage-truncated, so it
     // must survive until the caller consumes the returned frame.

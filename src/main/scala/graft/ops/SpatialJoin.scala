@@ -198,7 +198,23 @@ object SpatialJoin {
     val maxRadius = math.Pi * graft.index.S2.EarthRadiusMetres
     var pending = queries
     var resolved: DataFrame = null
-    var r = initRadiusMetres
+    // Density-planned start radius (round 7, guide §1.2 "remove passes"):
+    // each unresolved round costs a full join + window + checkpoint, so
+    // starting at a radius whose cap EXPECTS >= ~6k uniform points (>> k
+    // for any sane k) resolves almost every query in round ONE instead
+    // of log2(true_r / init_r) doubling rounds. One metadata-cheap
+    // count() sizes it; the cap-area inversion is exact spherical
+    // geometry (area = 2*pi*R^2*(1-cos(theta))). Correctness is
+    // untouched — every round remains candidate-complete within r and
+    // unresolved queries still re-join at 2r — only the ROUND COUNT
+    // changes (KnnJoin.knnAdaptive's histogram planning, sphericalized).
+    val nPoints = points.count()
+    val planned = if (nPoints > 0) {
+      val targetFrac = math.min(1.0, math.max(k * 8.0, 6000.0) / nPoints)
+      val theta = math.acos(math.max(-1.0, 1.0 - 2.0 * targetFrac))
+      theta * graft.index.S2.EarthRadiusMetres
+    } else initRadiusMetres
+    var r = math.min(maxRadius, math.max(initRadiusMetres, planned))
     var rounds = 0
     while (rounds < 64 && !pending.isEmpty) {
       // coarser cells for huge caps keep the per-query cover bounded

@@ -780,6 +780,10 @@ object GraftQueries {
         corpus, "vec_id", "vec", k = 10, nlist = 16, nprobe = 8, iters = 1)
       .select(col("qid"), col("vec_id"),
         col("dist2").cast("long").as("dist2"), col("rank").cast("long").as("rank"))
+      // materialize the (k x |queries|)-bounded result before the
+      // canonical sort: orderBy's range-sampling pass otherwise re-runs
+      // the whole probe join + window a second time (guide §1.2)
+      .localCheckpoint(true)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1742,6 +1746,9 @@ object GraftQueries {
         corpus, "vec_id", "vec", cb, k = 10, shortlist = 50, intDist = true)
       .select(col("qid"), col("vec_id"),
         col("dist2").cast("long").as("dist2"), col("rank").cast("long").as("rank"))
+      // k x |queries|-bounded materialization before the canonical sort
+      // (see q25) — the ADC shortlist + exact re-rank run once, not twice
+      .localCheckpoint(true)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1920,6 +1927,10 @@ object GraftQueries {
       .select(col("a"), col("b"),
         floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")
           .as("jaccard_ppm"))
+      // contamination hits are a vanishing fraction of the corpus —
+      // materialize them before the canonical sort so the bipartite LSH +
+      // exact verify pipeline runs once, not twice (orderBy sampling)
+      .localCheckpoint(true)
       .orderBy(col("a"), col("b")) // canonical output order for the driver's hasher
   }
 
@@ -2020,14 +2031,20 @@ object GraftQueries {
     val synth = udf { (id: Long) =>
       graft.multimodal.Bmp.synth(id, (8 + id % 9).toInt, (6 + id % 7).toInt)
     }
+    // Canonical order comes FIRST, on the bare key (round 7, guide §1.2):
+    // a trailing global orderBy re-runs its whole child subtree in the
+    // range-boundary sampling pass, so synth + decode executed TWICE and
+    // the exchange carried the payload bytes. Sorting doc_id up front
+    // makes the sampling pass a bare-key scan and runs the codec exactly
+    // once; projections/mapPartitions preserve the sorted order.
     val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id"))
       .withColumn("payload", synth(col("doc_id")))
     graft.multimodal.Multimodal.decodeBmpMeta(imgs, "doc_id", "payload")
       .toDF()
       .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("n_px"),
         col("px_checksum"))
-      .orderBy(col("doc_id"))
   }
 
   val q60Sql: String =
@@ -2054,7 +2071,9 @@ object GraftQueries {
     val synth = udf { (id: Long) =>
       graft.multimodal.Wav.synth(id, (100 + id % 50).toInt, (1 + id % 2).toInt)
     }
+    // sort-first on the bare key — see q60's rationale
     val clips = t(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id"))
       .withColumn("payload", synth(col("doc_id")))
     graft.multimodal.Multimodal.decodeWavMeta(clips, "doc_id", "payload")
       .toDF()
@@ -2062,7 +2081,6 @@ object GraftQueries {
         col("sample_rate").cast("long").as("sample_rate"),
         col("channels").cast("long").as("channels"),
         col("n_samples"), col("pcm_checksum"))
-      .orderBy(col("doc_id"))
   }
 
   val q62Sql: String =
@@ -2089,7 +2107,9 @@ object GraftQueries {
       graft.multimodal.Y4m.synth(id,
         (8 + 2 * (id % 5)).toInt, (6 + 2 * (id % 4)).toInt, (3 + id % 4).toInt)
     }
+    // sort-first on the bare key — see q60's rationale
     val clips = t(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id"))
       .withColumn("payload", synth(col("doc_id")))
     graft.multimodal.Multimodal.decodeY4mMeta(clips, "doc_id", "payload")
       .toDF()
@@ -2097,7 +2117,6 @@ object GraftQueries {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("n_frames"), col("yuv_checksum"))
-      .orderBy(col("doc_id"))
   }
 
   val q63Sql: String =
@@ -2136,7 +2155,9 @@ object GraftQueries {
       graft.multimodal.Png.synth(id, (5 + id % 8).toInt, (5 + id % 6).toInt,
         (3 + id % 2).toInt)
     }
+    // sort-first on the bare key — see q60's rationale
     val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id"))
       .withColumn("payload", synth(col("doc_id")))
     graft.multimodal.Multimodal.decodePngMeta(imgs, "doc_id", "payload")
       .toDF()
@@ -2144,7 +2165,6 @@ object GraftQueries {
         col("height").cast("long").as("height"),
         col("channels").cast("long").as("channels"), col("n_px"),
         col("px_checksum"))
-      .orderBy(col("doc_id"))
   }
 
   val q64Sql: String =
@@ -2279,7 +2299,11 @@ object GraftQueries {
       val by = if (mode == 2) 2 else (1 + id % 2).toInt
       graft.multimodal.Jpeg.synth(id, mode, bx, by)
     }
+    // sort-first on the bare key — see q60's rationale (the JPEG codec
+    // pair is the family's most expensive; halving its executions is the
+    // whole win)
     val imgs = t(spark, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id"))
       .withColumn("payload", synth(col("doc_id")))
     graft.multimodal.Multimodal.decodeJpegMeta(imgs, "doc_id", "payload")
       .toDF()
@@ -2287,7 +2311,6 @@ object GraftQueries {
         col("height").cast("long").as("height"),
         col("channels").cast("long").as("channels"), col("n_px"),
         col("px_checksum"))
-      .orderBy(col("doc_id"))
   }
 
   /** Closed-form replay: per-block constant planes (the synthValue
@@ -2593,6 +2616,10 @@ object GraftQueries {
       cellSize = 10000, tileSize = 100000, overwrite = true)
     graft.raster.Zarr.export(spark, storePath, zarrPath)
     graft.raster.Zarr.cells(spark, s"$zarrPath/v")
+      // materialize the non-fill cells before the canonical sort: the
+      // orderBy sampling pass otherwise re-reads + re-inflates every
+      // zarr chunk a second time
+      .localCheckpoint(true)
       .orderBy(col("row"), col("col"))
   }
 
