@@ -138,10 +138,25 @@ object Dedup {
       conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")))
   }
 
+  /** Fused affine-min signature over a pre-computed base-hash array.
+    *
+    * Round 7: the previous formulation —
+    * `transform(sequence(0, n-1), k => array_min(transform(bases, h =>
+    * affine(k, h))))` — hid the evaluation multiplicity of `bases` from
+    * the optimizer: `bases` is referenced ONCE textually (inside the
+    * outer lambda), so CollapseProject happily spliced the whole
+    * md5-shingle pipeline into the projection, where the outer transform
+    * then re-evaluated it numHashes times per row (64x the md5 work;
+    * measured 25 s cold vs ~2 s at sf0.1). As a single expression the
+    * bases child is evaluated exactly once per row no matter what the
+    * optimizer collapses, and the 64 x |bases| affine/min loop runs as
+    * one flat JVM kernel. Emitted values are IDENTICAL: same affine
+    * family ((2k+1)*h + k^2 + 1) mod (2^31 - 1) in long arithmetic, and
+    * an empty base set yields the same all-null signature `array_min`
+    * produced.
+    */
   def md5MinhashSig(bases: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), k =>
-      array_min(transform(bases, h =>
-        ((lit(2L) * k + 1L) * h + k * k + 1L) % 2147483647L)))
+    Bridge.column(Md5AffineMinSig(Bridge.expression(bases), numHashes))
 
   /** LSH candidate pairs over [[md5MinhashSig]] with EXACT band keys:
     * the bucket join key is the band's raw signature slice (4 longs),
@@ -487,6 +502,61 @@ object Dedup {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+/** Static kernel for [[Md5AffineMinSig]], shared by interpreted eval and
+  * generated code (Janino reaches it through the object's static
+  * forwarder). One flat pass: for each hash function k, min over the base
+  * hashes of ((2k+1)*h + k^2 + 1) mod (2^31 - 1) — long arithmetic,
+  * bit-identical to the former SQL transform/array_min chain. Empty base
+  * sets produce the all-null signature `array_min(empty)` produced.
+  */
+object Md5MinhashKernel {
+  def sig(bases: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bases.numElements()
+    val out = new Array[Any](numHashes)
+    if (n > 0) {
+      var k = 0
+      while (k < numHashes) {
+        val a = 2L * k + 1L
+        val b = k.toLong * k + 1L
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val v = (a * bases.getLong(i) + b) % 2147483647L
+          if (v < mn) mn = v
+          i += 1
+        }
+        out(k) = mn
+        k += 1
+      }
+    } // else: all-null signature (matches array_min over an empty array)
+    new GenericArrayData(out)
+  }
+}
+
+/** bases array (28-bit md5 shingle hashes as longs) -> numHashes-long
+  * affine MinHash signature. The child is evaluated ONCE per row — the
+  * point of fusing this (see [[Dedup.md5MinhashSig]]'s scaladoc).
+  */
+case class Md5AffineMinSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5MinhashKernel.sig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.ops.Md5MinhashKernel.sig($arr, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Per-JVM cache of random-hyperplane weight matrices keyed by
