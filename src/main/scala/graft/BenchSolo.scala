@@ -85,6 +85,12 @@ object BenchSolo {
         while (!startFile.exists() &&
                System.currentTimeMillis() < pollDeadline) Thread.sleep(50)
         if (!startFile.exists()) {
+          // Declare done even on the invalid path: a sibling that never
+          // starts must not make every healthy sibling block the full
+          // done-barrier deadline and post-probe a stale host state
+          // (round-6 ADVICE finding).
+          java.nio.file.Files.writeString(
+            new java.io.File(dir, s"done-$pid").toPath, "")
           println(s"SOLO-INVALID $t no-start-file")
         } else {
           // start file: "startMs endMs instances" (instances optional for
@@ -112,7 +118,10 @@ object BenchSolo {
           }
           if (rows == 0L) {
             // only reachable if this child reached the barrier AFTER the
-            // parent's 20-min straggler cutoff published the window
+            // parent's 20-min straggler cutoff published the window;
+            // still declare done so siblings' barriers count this child
+            java.nio.file.Files.writeString(
+              new java.io.File(dir, s"done-$pid").toPath, "")
             println(s"SOLO-INVALID $t missed-window")
           } else {
             val rps = rows / ((System.nanoTime() - t0) / 1e9)

@@ -156,9 +156,17 @@ object Zarr {
     * multiples). Chunk re-encodes run one-task-per-(tile,column) on the
     * executors; JSON metadata is driver-written once, like the skeleton.
     */
+  /** Dimension / coordinate-array names. The reference's on-disk format
+    * names them northings/eastings (`_dataframe.py:536, 658`), so xarray
+    * consumers address `ds.northings` / `ds.eastings` — matching that is
+    * part of the bit-format-parity goal (round-6 ADVICE). Parameterized
+    * for callers exporting non-BNG canvases.
+    */
   def export(spark: SparkSession, storePath: String, outPath: String,
-      level: Int = 1): Unit = {
+      level: Int = 1,
+      dimNames: (String, String) = ("northings", "eastings")): Unit = {
     import spark.implicits._
+    val (dimY, dimX) = dimNames
     val store = new TileStore(storePath)
     val h = store.header
     val t = math.round(h.tileSize / h.cellSize).toInt
@@ -186,7 +194,7 @@ object Zarr {
     // (row 0 = top, the store's assembleCanvas orientation)
     val xs = Array.tabulate(w)(j => h.canvasMinX + (j + 0.5) * h.cellSize)
     val ys = Array.tabulate(ht)(i => h.canvasMaxY - (i + 0.5) * h.cellSize)
-    Seq(("x", xs), ("y", ys)).foreach { case (name, arr) =>
+    Seq((dimX, xs), (dimY, ys)).foreach { case (name, arr) =>
       val dir = root.resolve(name)
       writeAtomic(dir, ".zarray",
         zarray1dJson(arr.length, "<f8", level).getBytes(UTF_8))
@@ -195,12 +203,13 @@ object Zarr {
       writeAtomic(dir, "0", deflate(encode("<f8", arr), level))
     }
 
+    val dims2d = s"[${jStr(dimY)},${jStr(dimX)}]"
     val colMetas = h.columns.map { spec =>
       val zdt = zarrDtype(spec.dtype)
       val dir = root.resolve(spec.name)
       val za = zarrayJson((ht, w), (t, t), zdt, spec.nodata, level)
       val attrs = attrsJson(Seq(
-        "_ARRAY_DIMENSIONS" -> """["y","x"]""",
+        "_ARRAY_DIMENSIONS" -> dims2d,
         "nodata" -> jNum(spec.nodata)) ++
         spec.lookup.map(l => "lookup" -> jStr(l)).toSeq)
       writeAtomic(dir, ".zarray", za.getBytes(UTF_8))
@@ -211,20 +220,26 @@ object Zarr {
     // consolidated metadata: every JSON doc inlined (chunks excluded)
     val entries = Seq(
       ".zgroup" -> zgroup, ".zattrs" -> groupAttrs,
-      "x/.zarray" -> zarray1dJson(w, "<f8", level),
-      "x/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> """["x"]""")),
-      "y/.zarray" -> zarray1dJson(ht, "<f8", level),
-      "y/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> """["y"]"""))) ++
+      s"$dimX/.zarray" -> zarray1dJson(w, "<f8", level),
+      s"$dimX/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> s"[${jStr(dimX)}]")),
+      s"$dimY/.zarray" -> zarray1dJson(ht, "<f8", level),
+      s"$dimY/.zattrs" -> attrsJson(Seq("_ARRAY_DIMENSIONS" -> s"[${jStr(dimY)}]"))) ++
       colMetas.flatMap { case (n, za, at) =>
         Seq(s"$n/.zarray" -> za, s"$n/.zattrs" -> at) }
     val zmeta = s"""{"zarr_consolidated_format":1,"metadata":${
       entries.map { case (k, v) => s"${jStr(k)}:$v" }.mkString("{", ",", "}")}}"""
     writeAtomic(root, ".zmetadata", zmeta.getBytes(UTF_8))
 
-    // distributed chunk re-encode: (tile, column) -> chunk file i.j
+    // distributed chunk re-encode: (tile, column) -> chunk file i.j.
+    // Only regions that EXIST are exported (round-6 ADVICE): a partially
+    // written store — the interrupted-run case TileStore resume supports
+    // — must export its complete regions, with the absent ones falling
+    // back to zarr's absent-chunk == fill_value semantics, not fail the
+    // whole distributed job on NoSuchFileException.
     val work = for {
       ref <- store.tiles()
       spec <- h.columns
+      if Files.exists(Paths.get(storePath, s"tile=$ref", s"${spec.name}.bin"))
     } yield (ref, spec.name, spec.dtype)
     if (work.nonEmpty) {
       val sp = storePath; val op = outPath
@@ -289,10 +304,21 @@ object Zarr {
       case other => throw new IllegalArgumentException(
         s"dimension_separator: $other")
     }
+    // dtype whitelist (round-6 ADVICE): decode() would otherwise treat
+    // any unrecognized dtype ('>f8' big-endian, '<f2', '|b1', '<U10', …)
+    // as little-endian f8 and silently produce garbage values for an
+    // external array — error loudly instead, like the compressor check.
+    val dtype = (j \ "dtype").extract[String]
+    require(SupportedDtypes.contains(dtype),
+      s"unsupported zarr dtype '$dtype' (supported: ${SupportedDtypes.mkString(", ")})")
     ArrayMeta((j \ "shape").extract[Seq[Int]],
       (j \ "chunks").extract[Seq[Int]],
-      (j \ "dtype").extract[String], fill, comp, sep)
+      dtype, fill, comp, sep)
   }
+
+  /** The dtype strings decode()/encode() actually implement. */
+  val SupportedDtypes: Set[String] = Set(
+    "|u1", "|i1", "<u2", "<i2", "<u4", "<i4", "<u8", "<i8", "<f4", "<f8")
 
   /** Read one chunk back as doubles (fill-valued if the chunk file is
     * absent — zarr semantics for never-written chunks). 1-D arrays (the
@@ -322,25 +348,30 @@ object Zarr {
     val meta = readArrayMeta(arrayPath)
     require(meta.shape.length == 2, "cells() reads 2-D arrays")
     import scala.jdk.CollectionConverters._
+    // Files.list streams hold a directory fd until closed (round-6
+    // ADVICE): a 13k-tile canvas under '/' separator would leak
+    // thousands — drain each listing inside Using.
+    def listNames(p: java.nio.file.Path): Seq[String] =
+      scala.util.Using.resource(Files.list(p)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      }
     val present: Seq[(Int, Int)] =
       if (meta.sep == "/") {
         // nested layout: <array>/<i>/<j>
         val dirRe = "^\\d+$".r
-        Files.list(Paths.get(arrayPath)).iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            dirRe.matches(p.getFileName.toString))
-          .flatMap { d =>
-            val i = d.getFileName.toString.toInt
-            Files.list(d).iterator().asScala
-              .map(_.getFileName.toString)
+        val base = Paths.get(arrayPath)
+        listNames(base)
+          .filter(n => dirRe.matches(n) && Files.isDirectory(base.resolve(n)))
+          .flatMap { n =>
+            val i = n.toInt
+            listNames(base.resolve(n))
               .collect { case s if dirRe.matches(s) => (i, s.toInt) }
-          }.toSeq.sorted
+          }.sorted
       } else {
         val chunkRe = "^(\\d+)\\.(\\d+)$".r
-        Files.list(Paths.get(arrayPath)).iterator().asScala
-          .map(_.getFileName.toString)
+        listNames(Paths.get(arrayPath))
           .collect { case chunkRe(a, b) => (a.toInt, b.toInt) }
-          .toSeq.sorted
+          .sorted
       }
     val (tr, tc) = (meta.chunks(0), meta.chunks(1))
     val (nr, nc) = (meta.shape(0), meta.shape(1))

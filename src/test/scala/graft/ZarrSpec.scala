@@ -84,15 +84,15 @@ class ZarrSpec extends SparkSpec {
     assert(meta.dtype == "|u1" && meta.fill == 255d && meta.compressed)
     val vattrs = new String(
       Files.readAllBytes(Paths.get(out, "val", ".zattrs")), UTF_8)
-    assert(vattrs.contains("\"_ARRAY_DIMENSIONS\":[\"y\",\"x\"]"))
+    assert(vattrs.contains("\"_ARRAY_DIMENSIONS\":[\"northings\",\"eastings\"]"))
     assert(vattrs.contains("\"nodata\":255"))
 
     // coordinate arrays: cell centres, y descending
-    val xm = Zarr.readArrayMeta(s"$out/x")
-    val xs = Zarr.readChunk(s"$out/x", xm, 0, 0)
+    val xm = Zarr.readArrayMeta(s"$out/eastings")
+    val xs = Zarr.readChunk(s"$out/eastings", xm, 0, 0)
     assert(xs.length == 7 && xs(0) == 50000d && xs(6) == 650000d)
-    val ym = Zarr.readArrayMeta(s"$out/y")
-    val ys = Zarr.readChunk(s"$out/y", ym, 0, 0)
+    val ym = Zarr.readArrayMeta(s"$out/northings")
+    val ys = Zarr.readChunk(s"$out/northings", ym, 0, 0)
     assert(ys.length == 13 && ys(0) == 1250000d && ys(12) == 50000d)
 
     // chunk-by-chunk equality with the store's own canvas assembly,
