@@ -105,12 +105,18 @@ object RasterPipeline {
     val specNodata = specs.map(_.nodata)
     val storePath = path
 
-    // Explicit RANGE-partitioned shuffle on the tile key (north rule) +
-    // sortWithinPartitions: each task streams ordered runs of tile rows
-    // through the burn — no per-group buffering, bounded memory per task
-    // regardless of tile size, ordered tile output within partitions.
+    // HASH-partitioned shuffle on the tile key + sortWithinPartitions:
+    // each task streams ordered runs of tile rows through the burn — no
+    // per-group buffering, bounded memory per task regardless of tile
+    // size. Round 7: hash instead of repartitionByRange — the burn only
+    // needs tile-locality plus intra-partition order, and range
+    // partitioning paid a whole extra evaluation of the prepared subtree
+    // (geometry explode + value projection + any categorize joins) for
+    // its boundary-sampling pass, plus a per-partition pre-sort. Output
+    // regions/metrics are identical; a hot tile occupies one task under
+    // either partitioning.
     val metrics = prepared
-      .repartitionByRange(col("__tile"))
+      .repartition(col("__tile"))
       .sortWithinPartitions(col("__tile"))
       .as[(String, Array[Byte], Seq[Double])]
       .mapPartitions { rows =>

@@ -379,12 +379,15 @@ object GraftQueries {
         docPoints(spark, dir), "lang", "lang_code")
       .select(col("doc_id"), col("x"), col("y"), col("lang_code"))
       .as[(Long, Long, Long, Long)]
-    // range-partition by tile, sort by (tile, doc_id) so last-write-wins
-    // order is the doc order WITHOUT buffering the group (streaming burn)
+    // hash-partition by tile, sort by (tile, doc_id) so last-write-wins
+    // order is the doc order WITHOUT buffering the group (streaming
+    // burn). Hash, not range (round 7): range sampling re-evaluated the
+    // categorize-joined projection a second time; the burn only needs
+    // tile-locality + intra-partition order.
     pts.toDF("doc_id", "x", "y", "lang_code")
       .withColumn("__te__", org.apache.spark.sql.functions.expr("x div 10000"))
       .withColumn("__tn__", org.apache.spark.sql.functions.expr("y div 10000"))
-      .repartitionByRange(col("__te__"), col("__tn__"))
+      .repartition(col("__te__"), col("__tn__"))
       .sortWithinPartitions(col("__te__"), col("__tn__"), col("doc_id"))
       .as[(Long, Long, Long, Long, Long, Long)]
       .mapPartitions { rows =>
