@@ -178,34 +178,43 @@ object Dedup {
       .select(col("__id__"), md5Bases(col("__toks__")).as("__bases__"))
       .select(col("__id__"),
         md5MinhashSig(col("__bases__"), numHashes).as("__sig__"))
-    // Evictable persist (the Categorize precedent, Categorize.scala:130):
-    // both sides of the bucket self-join read `banded`, and without a
-    // materialization the regex+md5 signature pipeline runs twice end to
-    // end. Deliberately NOT unpersisted here: the returned DataFrame is
-    // lazy (no Spark job at plan-construction time), so an eager
-    // unpersist would have to materialize the result inside this call.
-    // MEMORY_AND_DISK blocks are evictable under memory pressure (unlike
-    // a pinned localCheckpoint), so a long session running many queries
-    // (Verify runs all 72 in one SparkSession) degrades to recompute,
-    // never to OOM — the same lifetime contract Categorize's join-back
-    // dictionary documents.
-    val banded = sigs.select(col("__id__"), col("__sig__"),
+    // Evictable persist (the Categorize precedent, Categorize.scala:130)
+    // of the SIGNATURES: the bucket self-join's two sides and the two
+    // est-join sides all read this one materialization, so the regex+md5
+    // signature pipeline runs once end to end. Deliberately NOT
+    // unpersisted here: the returned DataFrame is lazy (no Spark job at
+    // plan-construction time), so an eager unpersist would have to
+    // materialize the result inside this call. MEMORY_AND_DISK blocks
+    // are evictable under memory pressure (unlike a pinned
+    // localCheckpoint), so a long session running many queries (Verify
+    // runs all 72 in one SparkSession) degrades to recompute, never to
+    // OOM — the same lifetime contract Categorize's join-back dictionary
+    // documents.
+    val sigsC = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round 7, guide §8 (ids-first — the embeddingNearDup shape): ONLY
+    // (id, band, band-slice key) rides the bucket self-join and the pair
+    // dedup; the 64-long signatures re-attach once per side AFTER the
+    // candidate set has collapsed. Carrying both signatures through the
+    // bucket join multiplied its exchange bytes ~10x for rows that were
+    // mostly deduped away.
+    val banded = sigsC.select(col("__id__"),
       posexplode(array((0 until bands).map(b =>
         slice(col("__sig__"), b * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("__band__", "__bkey__")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.select(col("__id__").as("a"), col("__sig__").as("siga"),
-      col("__band__"), col("__bkey__"))
-    val r = banded.select(col("__id__").as("b"), col("__sig__").as("sigb"),
-      col("__band__"), col("__bkey__"))
-    l.join(r, Seq("__band__", "__bkey__"))
+    val l = banded.select(col("__id__").as("a"), col("__band__"), col("__bkey__"))
+    val r = banded.select(col("__id__").as("b"), col("__band__"), col("__bkey__"))
+    val cands = l.join(r, Seq("__band__", "__bkey__"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    cands
+      .join(sigsC.select(col("__id__").as("a"), col("__sig__").as("siga")), Seq("a"))
+      .join(sigsC.select(col("__id__").as("b"), col("__sig__").as("sigb")), Seq("b"))
       .select(col("a"), col("b"),
         (aggregate(zip_with(col("siga"), col("sigb"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v) * (1000000L / numHashes))
           .as("est_jaccard_ppm"))
-      .dropDuplicates("a", "b")
   }
 
   /** Full near-dup pipeline: LSH candidates -> exact shingle-Jaccard
