@@ -57,6 +57,12 @@ object Zarr {
   /** Encode a region's doubles as the zarr chunk payload (C order,
     * little-endian) — the same per-dtype narrowing TileStore regions use,
     * so store bytes and zarr bytes carry identical values.
+    *
+    * uint64 caveat (round-6 verdict #4): `<u8` saturates at
+    * Long.MaxValue, consistent with the store's documented uint64 ladder
+    * pin (Constants.scala) — a hypothetical uint64 column's `fill_value`
+    * would therefore differ from numpy's 2^64-1; keep uint64 out of
+    * export paths (the dtype ladder never emits it for real data).
     */
   private[graft] def encode(zdt: String, data: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(data.length * bytesPer(zdt))
