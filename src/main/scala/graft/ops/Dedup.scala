@@ -326,7 +326,13 @@ object Dedup {
     require(bits % chunks == 0, "chunks must divide bits")
     val w = bits / chunks
     val mask = (1L << w) - 1L
+    // Evictable persist (the minhashCandidatesMd5 lifetime contract):
+    // both sides of the chunk-key self-join read the signatures, and the
+    // signature kernel (per-token digest for the md5 variant) would
+    // otherwise run twice over the corpus; the cached row is only
+    // (id, 8-byte signature).
     val sigs = df.select(col(idCol).as("__id__"), sig.as("__sh__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkKeys = array((0 until chunks).map(c =>
       shiftrightunsigned(col("__sh__"), c * w).bitwiseAND(lit(mask))): _*)
     val banded = capBuckets(

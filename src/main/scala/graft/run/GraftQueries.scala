@@ -1531,7 +1531,14 @@ object GraftQueries {
           .as(Seq("line_no", "line")))
       .withColumn("line_no", col("line_no").cast("long"))
     val kept = graft.ops.LineDedup.dedupLines(lines, "doc_id", "line_no", "line")
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("lines_total"))
+    // lines_total is a row-local closed form of the same derivation that
+    // generates the lines (ceil(|words| / 2) chunks per doc) — no need
+    // to re-explode and aggregate 125k line rows to count them (round
+    // 7). Null-text docs produce no line rows and must stay absent from
+    // the left side, exactly as the aggregate behaved.
+    val totals = words.filter(col("words").isNotNull)
+      .select(col("doc_id"),
+        ceil(size(col("words")) / lit(2.0)).cast("long").as("lines_total"))
     val keptAgg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("lines_kept"),
       array_join(
