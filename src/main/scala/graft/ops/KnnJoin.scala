@@ -195,7 +195,12 @@ object KnnJoin {
         first(col("__R__")).as("__R0__"))
       .withColumn("__ok__",
         col("__n__") === k && col("__kd__") <= col("__R0__") * resolution)
+    // checkpointed: one row per OK query, consumed by TWO broadcast
+    // builds (the resolved join and the failed anti-join) plus the
+    // isEmpty probe — materialize the aggregation once instead of per
+    // consumer (round 7)
     val okQ = status.filter(col("__ok__")).select(col(qId).as("__okq__"))
+      .localCheckpoint(true)
 
     val resolvedOk = ranked.join(broadcast(okQ), col(qId) === col("__okq__"))
       .select(col(qId), col(dataId), col("__dist2__").as("dist2"),
